@@ -1,0 +1,101 @@
+"""Single-ray debug probe — the analog of the reference's click-to-debug
+``debug_cast`` (src/raytracer.cu:91-100, src/main.cc:181-186), which launches a
+1-thread kernel and narrates the bounce state machine via device printf.
+
+Here the probe traces one pixel through the oracle engine and prints each
+bounce level's cast result, shading terms, and spawned rays — host-side, so it
+also works under jit via the returned record structure."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import raymath as rm
+from .render.cast import hit_shading_attrs, make_brute_cast
+from .render.geometry import camera_rays, expand_geometry
+from .render.shading import illuminate
+from .render.engine import trans_attenuation
+from .scene import Camera, RenderConfig, Scene
+
+
+def debug_cast(scene: Scene, camera: Camera, cfg: RenderConfig, x: int, y: int):
+    """Trace pixel (x, y) verbosely; returns a list of per-bounce records."""
+    geom = expand_geometry(scene)
+    cast = make_brute_cast(geom)
+    ro, rd = camera_rays(camera, cfg.width, cfg.height)
+    o = ro[y, x][None]
+    d = rd[y, x][None]
+    mats = scene.materials
+
+    records = []
+    items = [
+        dict(o=o, d=d, atten=jnp.ones((1, 4)), in_obj=jnp.zeros(1, bool),
+             active=jnp.ones(1, bool), kind="primary")
+    ]
+    total = np.zeros(4, dtype=np.float32)
+    for level in range(cfg.recurse_depth + 1):
+        nxt = []
+        for it in items:
+            if not bool(np.asarray(it["active"])[0]):
+                continue
+            print(f"[level {level}] shooting a {it['kind']} ray "
+                  f"o={np.asarray(it['o'])[0]} d={np.asarray(it['d'])[0]}")
+            hit = cast(it["o"], it["d"])
+            rec = dict(level=level, kind=it["kind"],
+                       o=np.asarray(it["o"])[0], d=np.asarray(it["d"])[0],
+                       hit=bool(np.asarray(hit.valid)[0]),
+                       t=float(np.asarray(hit.t)[0]))
+            if not rec["hit"]:
+                print("  miss")
+                records.append(rec)
+                continue
+            normal, mat_idx, inst = hit_shading_attrs(geom, hit)
+            kt = mats.kt[mat_idx]
+            kr = mats.kr[mat_idx]
+            atten_eff = jnp.where(
+                it["in_obj"][..., None],
+                it["atten"] * trans_attenuation(kt, hit.t),
+                it["atten"],
+            )
+            lum = illuminate(scene, geom, cast, cfg, it["o"], it["d"], hit,
+                             normal, mat_idx, hit.valid)
+            contrib = np.asarray(atten_eff * lum)[0]
+            total += contrib
+            rec.update(
+                t=float(np.asarray(hit.t)[0]),
+                inst=int(np.asarray(inst)[0]),
+                mat=int(np.asarray(mat_idx)[0]),
+                normal=np.asarray(normal)[0],
+                contribution=contrib,
+            )
+            print(f"  hit inst={rec['inst']} mat={rec['mat']} t={rec['t']:.6f} "
+                  f"n={rec['normal']}")
+            print(f"  contribution={contrib}")
+            records.append(rec)
+
+            if level < cfg.recurse_depth:
+                hit_pt = it["o"] + hit.t[..., None] * it["d"]
+                if bool(np.asarray(jnp.any(kr > 0))):
+                    print("  preparing to shoot a reflection ray")
+                    nxt.append(dict(
+                        o=hit_pt, d=rm.normalize(rm.reflect(it["d"], normal)),
+                        atten=atten_eff * kr, in_obj=it["in_obj"],
+                        active=hit.valid & jnp.any(kr > 0, -1), kind="reflection"))
+                if bool(np.asarray(jnp.any(kt > 0))):
+                    eta = mats.eta[mat_idx]
+                    n1 = jnp.where(it["in_obj"], eta, 1.0)
+                    n2 = jnp.where(it["in_obj"], 1.0, eta)
+                    refr_d, tir = rm.refract(it["d"], normal, n1, n2)
+                    if bool(np.asarray(tir)[0]):
+                        print("  total internal reflection — dropping refraction")
+                    else:
+                        print("  preparing to shoot a refraction ray")
+                        nxt.append(dict(
+                            o=hit_pt, d=rm.normalize(refr_d), atten=atten_eff,
+                            in_obj=~it["in_obj"],
+                            active=hit.valid & ~tir, kind="refraction"))
+        items = nxt
+    print(f"pixel ({x}, {y}) final color: {np.minimum(total, 1.0)}")
+    return records

@@ -1,0 +1,223 @@
+"""Ray casting: closest-hit queries against the world triangle soup.
+
+This module provides the XLA-level casts (pure jnp) behind the shared ``CastFn``
+signature; the Pallas TPU kernels plug in behind the same interface so every
+engine shares the shading/propagation code.
+
+* ``make_brute_cast`` — scan over all world triangles (the analog of the
+  reference's ``-r``/BVH-less linear scan, scene.cu:48-52,208-212); the oracle.
+* ``make_culled_cast`` — dense ray x instance-AABB slab test, top-K candidate
+  compaction, then triangle tests against only candidate instances.
+
+Closest-hit semantics (reference: trimesh.cu:47-68): a candidate counts iff the
+triangle test passes and ``THRESHOLD <= t < best_t``; ties resolve to the earliest
+triangle in scene order (the sequential loop's strict ``<``), which ``argmin``
+over a scene-ordered axis reproduces.
+
+All casts chunk internally over rays (``lax.map``) to bound the transient
+[rays x tris] working set; inputs of any leading batch shape are accepted.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from .. import raymath as rm
+from .geometry import WorldGeometry
+
+
+def _pytree_dataclass(cls):
+    import dataclasses as _dc
+
+    fields = [f.name for f in _dc.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_pytree_dataclass
+@dataclass
+class Hit:
+    """SoA hit record (the reference's ``Isect``, include/rayprimitives/isect.h)."""
+
+    valid: Any  # [...] bool
+    t: Any  # [...] f32 (inf when invalid)
+    wtri: Any  # [...] i32 world-triangle index (0 when invalid)
+    uv: Any  # [...,2] f32 barycentric (bary_b, bary_c)
+
+
+# Signature all casts share: (origins [...,3], dirs [...,3]) -> Hit over [...]
+CastFn = Callable[[Any, Any], Hit]
+
+
+def hit_shading_attrs(geom: WorldGeometry, hit: Hit):
+    """Gather interpolated shading attributes for a Hit.
+
+    Returns ``(normal [...,3], mat [...] i32, inst [...] i32)``.  The normal is the
+    barycentric blend of the three world-space vertex normals, re-normalized
+    (reference: trimesh.cu:59-63 + hitable.cu fix_isect)."""
+    w = hit.wtri
+    u = hit.uv[..., 0:1]
+    v = hit.uv[..., 1:2]
+    b0 = 1.0 - u - v
+    n = b0 * geom.na[w] + u * geom.nb[w] + v * geom.nc[w]
+    return rm.normalize(n), geom.mat[w], geom.inst[w]
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _chunked_over_rays(ray_chunk: int):
+    """Decorator: flatten leading batch dims, pad to a multiple of ray_chunk,
+    lax.map the wrapped single-chunk cast, unpad and reshape back."""
+
+    def wrap(chunk_cast):
+        def cast(ro, rd):
+            batch_shape = ro.shape[:-1]
+            ro_f = ro.reshape(-1, 3)
+            rd_f = rd.reshape(-1, 3)
+            R = ro_f.shape[0]
+            chunk = min(ray_chunk, R) if R else 1
+            Rp = _round_up(max(R, 1), chunk)
+            ro_f = jnp.pad(ro_f, ((0, Rp - R), (0, 0)))
+            rd_f = jnp.pad(rd_f, ((0, Rp - R), (0, 0)),
+                           constant_values=0.0)
+            # benign unit dir for padding rows
+            pad_mask = jnp.arange(Rp) >= R
+            rd_f = jnp.where(pad_mask[:, None], jnp.array([0.0, 0.0, 1.0]), rd_f)
+
+            n_chunks = Rp // chunk
+            if n_chunks == 1:
+                hit = chunk_cast(ro_f, rd_f)
+            else:
+                hit = jax.lax.map(
+                    lambda args: chunk_cast(*args),
+                    (ro_f.reshape(n_chunks, chunk, 3),
+                     rd_f.reshape(n_chunks, chunk, 3)),
+                )
+                hit = jax.tree_util.tree_map(
+                    lambda x: x.reshape((Rp,) + x.shape[2:]), hit
+                )
+            return jax.tree_util.tree_map(
+                lambda x: x[:R].reshape(batch_shape + x.shape[1:]), hit
+            )
+
+        return cast
+
+    return wrap
+
+
+def make_brute_cast(geom: WorldGeometry, tri_chunk: int = 2048,
+                    ray_chunk: int = 8192) -> CastFn:
+    """Brute-force closest hit: scan all world triangles in fixed-size blocks with
+    a running-minimum carry.  This is the test oracle."""
+    W = geom.a.shape[0]
+    tri_chunk = min(tri_chunk, max(W, 1))
+    Wp = _round_up(max(W, 1), tri_chunk)
+    pad = Wp - W
+
+    def pad0(x):
+        return jnp.pad(x, ((0, pad), (0, 0)))
+
+    a = pad0(geom.a).reshape(-1, tri_chunk, 3)
+    b = pad0(geom.b).reshape(-1, tri_chunk, 3)
+    c = pad0(geom.c).reshape(-1, tri_chunk, 3)
+    tri_ok = (jnp.arange(Wp) < W).reshape(-1, tri_chunk)
+    base = jnp.arange(Wp, dtype=jnp.int32).reshape(-1, tri_chunk)
+
+    @_chunked_over_rays(ray_chunk)
+    def cast(ro_f, rd_f):
+        R = ro_f.shape[0]
+        init = (
+            jnp.full((R,), jnp.inf, dtype=jnp.float32),
+            jnp.zeros((R,), dtype=jnp.int32),
+            jnp.zeros((R, 2), dtype=jnp.float32),
+        )
+
+        def body(carry, xs):
+            best_t, best_i, best_uv = carry
+            ba, bb, bc, ok, idx = xs
+            hit, t, uv = rm.ray_triangle_areas(
+                ro_f[:, None, :], rd_f[:, None, :], ba[None], bb[None], bc[None]
+            )
+            valid = hit & ok[None] & (t >= rm.THRESHOLD)
+            t = jnp.where(valid, t, jnp.inf)
+            arg = jnp.argmin(t, axis=1)
+            rows = jnp.arange(R)
+            cand_t = t[rows, arg]
+            better = cand_t < best_t
+            best_t = jnp.where(better, cand_t, best_t)
+            best_i = jnp.where(better, idx[arg], best_i)
+            best_uv = jnp.where(better[:, None], uv[rows, arg], best_uv)
+            return (best_t, best_i, best_uv), None
+
+        (best_t, best_i, best_uv), _ = jax.lax.scan(body, init, (a, b, c, tri_ok, base))
+        return Hit(valid=jnp.isfinite(best_t), t=best_t, wtri=best_i, uv=best_uv)
+
+    return cast
+
+
+def make_culled_cast(geom: WorldGeometry, max_candidates: int = 64,
+                     max_tris_per_mesh: int = 16, ray_chunk: int = 4096) -> CastFn:
+    """Two-phase cast: dense ray x instance-AABB slab test, top-K candidate
+    compaction, then triangle tests against only the candidates' triangles.
+
+    World triangles are contiguous per instance by construction
+    (``expand_geometry``), so candidate instance i owns rows
+    [start[i], start[i]+count[i]).  ``max_tris_per_mesh`` must be a static upper
+    bound (RenderConfig carries it from scene build time)."""
+    amin = geom.aabb_min
+    amax = geom.aabb_max
+    n_inst = amin.shape[0]
+    K = min(max_candidates, max(n_inst, 1))
+    Tm = max(int(max_tris_per_mesh), 1)
+
+    # CSR over world triangles, derived from the per-wtri instance ids.
+    W = geom.a.shape[0]
+    ones = jnp.ones((W,), jnp.int32)
+    counts = jnp.zeros((n_inst,), jnp.int32).at[geom.inst].add(ones)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+
+    @_chunked_over_rays(ray_chunk)
+    def cast(ro_f, rd_f):
+        R = ro_f.shape[0]
+        hit_box, t_entry = rm.ray_aabb(
+            ro_f[:, None, :], rd_f[:, None, :], amin[None], amax[None]
+        )  # [R, N]
+        score = jnp.where(hit_box, -t_entry, -jnp.inf)
+        _, cand = jax.lax.top_k(score, K)  # [R, K] instance ids, nearest first
+        cand_ok = jnp.take_along_axis(hit_box, cand, axis=1)
+
+        tri_idx = starts[cand][..., None] + jnp.arange(Tm)[None, None, :]  # [R,K,Tm]
+        tri_ok = (
+            (jnp.arange(Tm)[None, None, :] < counts[cand][..., None])
+            & cand_ok[..., None]
+        )
+        tri_idx = jnp.clip(tri_idx, 0, max(W - 1, 0))
+
+        ta = geom.a[tri_idx]
+        tb = geom.b[tri_idx]
+        tc = geom.c[tri_idx]
+        hit, t, uv = rm.ray_triangle_areas(
+            ro_f[:, None, None, :], rd_f[:, None, None, :], ta, tb, tc
+        )
+        valid = hit & tri_ok & (t >= rm.THRESHOLD)
+        t = jnp.where(valid, t, jnp.inf).reshape(R, -1)
+        arg = jnp.argmin(t, axis=1)
+        rows = jnp.arange(R)
+        best_t = t[rows, arg]
+        best_i = tri_idx.reshape(R, -1)[rows, arg]
+        best_uv = uv.reshape(R, -1, 2)[rows, arg]
+        return Hit(
+            valid=jnp.isfinite(best_t),
+            t=best_t,
+            wtri=best_i.astype(jnp.int32),
+            uv=best_uv,
+        )
+
+    return cast

@@ -1,0 +1,130 @@
+"""Phong shading, lights, and the transmissive shadow march (pure jnp).
+
+Behavior spec (reference: src/rayprimitives/phong.cu, src/rayprimitives/light.cu):
+
+* ``illuminate = Ke + Ka*ambience + sum_lights phong(...)`` (phong.cu:36-53).
+* ``phong``: diffuse ``max(dot(L, N), 0) * Kd``; specular
+  ``max(dot(-reflect(-L, N), V), 0)^alpha * Ks`` (phong.cu:14-33).  NOTE the
+  reference feeds the *raw* (possibly non-unit) ``dir_to_light`` of directional
+  lights into these dot products (light.cu:74-77 sets ``dir_to_light = -dir``
+  unnormalized) — preserved.
+* Point lights scale by distance attenuation ``1/max(1, c + l*d + q*d^2)``
+  (light.cu:11-17).
+* Shadow march (light.cu:30-61): walk the shadow ray; opaque blocker kills the
+  light; a refractive blocker multiplies by ``Kt^segment`` when the ray exits it
+  (normal . dir > 0) and marching continues past it; a blocker beyond the light
+  leaves it lit.  The reference loop is unbounded; ours runs ``shadow_steps``
+  fixed iterations with an alive mask (documented deviation; each step can only
+  trigger on a refractive blocker, so small bounds are exact for these scenes).
+
+Everything is batched over rays and differentiable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import raymath as rm
+from ..scene import RenderConfig, Scene
+from .cast import CastFn, Hit, hit_shading_attrs
+from .geometry import WorldGeometry
+
+
+def distance_attenuation(scene: Scene, dist):
+    c = scene.dist_atten[0]
+    l = scene.dist_atten[1]
+    q = scene.dist_atten[2]
+    quad = c + l * dist + q * dist * dist
+    return jnp.where(quad < 1.0, 1.0, 1.0 / jnp.maximum(quad, 1.0))
+
+
+def shadow_attenuation(kt, dist):
+    """``Kt^dist`` per channel (light.cu:19-26)."""
+    return jnp.power(kt, dist[..., None])
+
+
+def _march_shadow(scene: Scene, geom: WorldGeometry, cast_fn: CastFn,
+                  origin, dir_unit, max_t, light_col, cfg: RenderConfig,
+                  active):
+    """Bounded transmissive shadow march; returns per-ray RGBA attenuated light."""
+    mats = scene.materials
+    dir_unit = jnp.broadcast_to(dir_unit, origin.shape)
+
+    def step(_, carry):
+        rv, cur_o, remaining, alive = carry
+        hit = cast_fn(cur_o, dir_unit)
+        h_norm, h_mat, _ = hit_shading_attrs(geom, hit)
+        step_hit = alive & hit.valid
+        beyond = step_hit & (hit.t > remaining)  # blocker past the light: lit
+        kt = mats.kt[h_mat]
+        refractive = jnp.any(kt > 0.0, axis=-1)
+        opaque = step_hit & ~beyond & ~refractive
+        continuing = step_hit & ~beyond & refractive
+
+        rv = jnp.where(opaque[..., None], 0.0, rv)
+        exiting = continuing & (rm.dot(h_norm, dir_unit) > 0.0)
+        atten = shadow_attenuation(kt, hit.t)
+        rv = jnp.where(exiting[..., None], rv * atten, rv)
+
+        cur_o = jnp.where(
+            continuing[..., None], cur_o + hit.t[..., None] * dir_unit, cur_o
+        )
+        remaining = jnp.where(continuing, remaining - hit.t, remaining)
+        return rv, cur_o, remaining, continuing
+
+    init = (
+        jnp.broadcast_to(light_col, origin.shape[:-1] + (4,)),
+        origin + rm.THRESHOLD * dir_unit,  # to_light.at(THRESHOLD), light.cu:32
+        jnp.broadcast_to(max_t, origin.shape[:-1]),
+        active,
+    )
+    rv, _, _, _ = jax.lax.fori_loop(0, cfg.shadow_steps, step, init)
+    return rv
+
+
+def phong_term(scene: Scene, mat_idx, incoming, ray_dir, dir_to_light, normal):
+    """One light's Phong contribution (phong.cu:14-33)."""
+    mats = scene.materials
+    kd = mats.kd[mat_idx]
+    ks = mats.ks[mat_idx]
+    alpha = mats.alpha[mat_idx]
+    norm_dot = jnp.maximum(rm.dot(dir_to_light, normal), 0.0)
+    diffuse = norm_dot[..., None] * kd
+    reflected = rm.reflect(-dir_to_light, normal)
+    reflect_dot = rm.dot(-reflected, ray_dir)
+    spec = jnp.power(jnp.maximum(reflect_dot, 0.0), alpha)[..., None] * ks
+    return (diffuse + spec) * incoming
+
+
+def illuminate(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConfig,
+               ray_o, ray_d, hit: Hit, normal, mat_idx, active):
+    """Full local shading at a hit point (phong.cu:40-67)."""
+    mats = scene.materials
+    hit_pos = ray_o + hit.t[..., None] * ray_d
+    col = mats.ke[mat_idx] + mats.ka[mat_idx] * scene.ambience
+
+    n_point = scene.lights.point_pos.shape[0]
+    for i in range(n_point):
+        lpos = scene.lights.point_pos[i]
+        lcol = scene.lights.point_col[i]
+        disp = lpos - hit_pos
+        dist = rm.norm(disp)
+        datten = distance_attenuation(scene, dist)
+        dir_to_light = rm.normalize(disp)
+        incoming = datten[..., None] * _march_shadow(
+            scene, geom, cast_fn, hit_pos, dir_to_light, dist, lcol, cfg, active
+        )
+        col = col + phong_term(scene, mat_idx, incoming, ray_d, dir_to_light, normal)
+
+    n_dir = scene.lights.dir_dir.shape[0]
+    for i in range(n_dir):
+        ldir = scene.lights.dir_dir[i]
+        lcol = scene.lights.dir_col[i]
+        dir_to_light = -ldir  # raw, possibly non-unit (light.cu:74-77)
+        march_dir = rm.normalize(dir_to_light)  # Ray ctor normalizes for the march
+        incoming = _march_shadow(
+            scene, geom, cast_fn, hit_pos, march_dir, jnp.inf, lcol, cfg, active
+        )
+        col = col + phong_term(scene, mat_idx, incoming, ray_d, dir_to_light, normal)
+    return col

@@ -1,0 +1,194 @@
+"""Scene data model: a pytree of flat SoA arrays.
+
+This is the TPU-native replacement for the reference's object-graph scene
+(``renv::gpu::Scene`` with device-heap ``Hitable*``/``Light*`` vtables,
+reference: include/rayenv/gpu/scene.h:32-110, src/scene_builder.cu:83-179).
+The reference already flattens meshes to SoA arrays before building device
+objects (src/scene_builder.cu:87-123); here the flat arrays *are* the scene,
+and rendering is a pure function of this pytree — which is what makes the
+whole pipeline jit-able, differentiable, and shardable.
+
+Conventions
+-----------
+* Quaternions are stored ``[x, y, z, w]`` (the reference's ``(i, j, k, r)``,
+  include/raymath/geometry.h:99-116).
+* Entity frames follow the reference convention (src/rayprimitives/entity.cu:5-23):
+  ``to_local(v) = rot(q, v - p)`` and ``from_local(v) = rot(q^-1, v) + p``;
+  i.e. the stored quaternion maps *global to local*.
+* Instances ("Transformations", include/rayenv/transformation.h:13-23) reference a
+  mesh by index; a mesh is itself an entity (``Trimesh`` extends ``Entity``), so a
+  vertex's world position is ``inst.from_local(mesh.from_local(v))``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _pytree_dataclass(cls):
+    """Register a dataclass as a JAX pytree (all fields are data leaves)."""
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_pytree_dataclass
+@dataclass
+class Materials:
+    """Deduplicated Phong material table (reference: include/rayprimitives/material.h).
+
+    Each field is ``[K, 4]`` RGBA (or ``[K]`` for scalars); triangles index into it.
+    ``reflective`` iff any Kr channel > 0, ``refractive`` iff any Kt channel > 0
+    (material.h:104-112).
+    """
+
+    ke: Any  # [K,4] emission
+    ka: Any  # [K,4] ambient
+    kd: Any  # [K,4] diffuse
+    ks: Any  # [K,4] specular
+    kt: Any  # [K,4] transmission
+    kr: Any  # [K,4] reflection
+    alpha: Any  # [K] shininess exponent
+    eta: Any  # [K] refraction index
+
+
+@_pytree_dataclass
+@dataclass
+class Lights:
+    """Point + directional lights (reference: include/rayprimitives/{cpu,gpu}/light*).
+
+    Kept as two dense arrays; either may be empty (shape [0, ...])."""
+
+    point_pos: Any  # [Lp,3]
+    point_col: Any  # [Lp,4]
+    dir_dir: Any  # [Ld,3] direction the light SHINES (rays go toward -dir)
+    dir_col: Any  # [Ld,4]
+
+
+@_pytree_dataclass
+@dataclass
+class Camera:
+    """Pinhole camera entity (reference: src/rayenv/camera.cu:6-42).
+
+    ``global_near = 0.5 * width / unit_to_pixels / tan(fov)``; pixel (x, y) maps to a
+    ray through ``near*f + gx*r + gy*u`` where (r, u, f) are the columns of the
+    orientation's rotation matrix.  NOTE: unlike instances, the camera treats its
+    quaternion as local->global (the reference reads basis vectors straight out of
+    ``o.to_Mat3()`` columns, camera.cu:33-42)."""
+
+    pos: Any  # [3]
+    rot: Any  # [4] quaternion [x,y,z,w]
+    global_near: Any  # scalar
+    unit_to_pixels: Any  # scalar
+
+
+@_pytree_dataclass
+@dataclass
+class Scene:
+    """The full flattened scene. Every leaf is an array; shapes are static."""
+
+    # --- shared vertex pools (reference: rayprimitives/vertex_buffer) ---
+    verts: Any  # [V,3] mesh-local positions
+    norms: Any  # [V,3] mesh-local unit vertex normals (area-accumulated, faceted
+    #            for the duplicated-vertex cube meshes; src/scene_builder.cc:11-29)
+
+    # --- triangle table (reference: TriInner, rayprimitives/trimesh) ---
+    tri_v: Any  # [T,3] i32 vertex indices
+    tri_mat: Any  # [T] i32 material table index
+    tri_coord_rect: Any  # [T,4] f32 texture atlas rect (texture_x, texture_y, u, v)
+    tri_coord_degenerate: Any  # [T] bool; True => untextured, use Kd
+    #            (reference: include/rayprimitives/texture_coords.h:12-29)
+
+    # --- meshes (each an entity frame; CSR over triangle table) ---
+    mesh_pos: Any  # [M,3]
+    mesh_rot: Any  # [M,4]
+    mesh_tri_start: Any  # [M] i32
+    mesh_tri_count: Any  # [M] i32
+    mesh_aabb_min: Any  # [M,3] mesh-local AABB over verts
+    mesh_aabb_max: Any  # [M,3]
+
+    # --- material table ---
+    materials: Materials
+
+    # --- instances (reference: renv::Transformation) ---
+    inst_pos: Any  # [N,3]
+    inst_rot: Any  # [N,4]
+    inst_mesh: Any  # [N] i32
+
+    # --- world-triangle expansion maps (host-built, static data) ---
+    wtri_inst: Any  # [W] i32 instance index per world triangle
+    wtri_tri: Any  # [W] i32 triangle-table index per world triangle
+
+    # --- lights ---
+    lights: Lights
+
+    # --- environment globals (reference: include/rayenv/environment.h:19-93) ---
+    ambience: Any  # [4]
+    dist_atten: Any  # [3] constant/linear/quadratic terms
+
+    # --- texture atlas, RGBA f32 in [0,1] ---
+    atlas: Any  # [Ha,Wa,4]
+
+    @property
+    def n_instances(self) -> int:
+        return self.inst_pos.shape[0]
+
+    @property
+    def n_world_tris(self) -> int:
+        return self.wtri_tri.shape[0]
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static (hashable) render settings — the analog of the reference CLI flags
+    ``-d/-r/-s`` (src/main.cc:32-38) plus config-file globals that gate control flow.
+    """
+
+    width: int = 640
+    height: int = 480
+    recurse_depth: int = 2  # "depth" in world*.json (cube_world.cc:181-183)
+    shadow_steps: int = 4  # bounded version of the unbounded shadow march
+    #                        (src/rayprimitives/light.cu:34-60); documented deviation
+    engine: str = "jnp"  # "jnp" oracle | "pallas" TPU fast path
+    use_bvh: bool = True  # False == reference's -r brute-force fallback
+    ray_chunk: int = 16384  # rays per cast chunk (memory bound)
+    queue_factor: float = 1.0  # wavefront queue capacity as a multiple of the
+    #                            primary ray count (children beyond it are dropped
+    #                            and counted; fixtures never spawn both child types)
+    max_candidates: int = 64  # top-K instances per ray in the culled cast
+    max_tris_per_mesh: int = 16  # static upper bound on one mesh's triangle count
+    #                              (cube meshes have 12); set by the scene loader
+    fractional_pixels: bool = False  # reference casts through integer pixel corners
+    #                                  (raytracer.cc:49-51); True enables subpixel spp
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def device_scene(scene: Scene) -> Scene:
+    """Move every leaf to the default device as jnp arrays."""
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.asarray, scene)
+
+
+def scene_summary(scene: Scene) -> str:
+    v = scene.verts.shape[0]
+    t = scene.tri_v.shape[0]
+    n = scene.inst_pos.shape[0]
+    w = scene.wtri_tri.shape[0]
+    lp = scene.lights.point_pos.shape[0]
+    ld = scene.lights.dir_dir.shape[0]
+    return (
+        f"Scene(verts={v}, tris={t}, meshes={scene.mesh_pos.shape[0]}, "
+        f"instances={n}, world_tris={w}, lights={lp}+{ld})"
+    )
+
+
+def tree_f32(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
