@@ -27,8 +27,10 @@ def bench_world(config_path: str, width=640, height=480, repeats=3,
     from raytracer_tpu.scene import device_scene
 
     w = generate(config_path)
+    on_accel = jax.default_backend() != "cpu"
     cfg = w.config.replace(width=width, height=height, use_bvh=use_bvh,
-                           ray_chunk=width * height)
+                           ray_chunk=8192,
+                           engine="pallas" if on_accel else "jnp")
     scene = device_scene(w.scene)
     camera = jax.tree_util.tree_map(jnp.asarray, w.camera)
     render = jax.jit(render_frame, static_argnames=("cfg",))

@@ -163,14 +163,22 @@ def make_brute_cast(geom: WorldGeometry, tri_chunk: int = 2048,
 
 
 def make_culled_cast(geom: WorldGeometry, max_candidates: int = 64,
-                     max_tris_per_mesh: int = 16, ray_chunk: int = 4096) -> CastFn:
+                     max_tris_per_mesh: int = 16, ray_chunk: int = 4096,
+                     fallback_cap: int = 1024) -> CastFn:
     """Two-phase cast: dense ray x instance-AABB slab test, top-K candidate
     compaction, then triangle tests against only the candidates' triangles.
 
     World triangles are contiguous per instance by construction
     (``expand_geometry``), so candidate instance i owns rows
-    [start[i], start[i]+count[i]).  ``max_tris_per_mesh`` must be a static upper
-    bound (RenderConfig carries it from scene build time)."""
+    [start[i], start[i]+count[i)).  ``max_tris_per_mesh`` must be a static upper
+    bound (RenderConfig carries it from scene build time).
+
+    Correctness guarantee: a ray's top-K result is provably the closest hit iff
+    either all overlapped boxes were examined (overlap <= K) or the found hit is
+    nearer than the entry time of the nearest *excluded* box.  Unresolved rays
+    (e.g. grazing rays along cube-world column boundaries can overlap hundreds
+    of boxes) are compacted — up to ``fallback_cap`` per chunk — and re-cast by
+    brute force over all triangles."""
     amin = geom.aabb_min
     amax = geom.aabb_max
     n_inst = amin.shape[0]
@@ -183,6 +191,10 @@ def make_culled_cast(geom: WorldGeometry, max_candidates: int = 64,
     counts = jnp.zeros((n_inst,), jnp.int32).at[geom.inst].add(ones)
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
 
+    brute = None
+    if K < n_inst:
+        brute = make_brute_cast(geom, ray_chunk=fallback_cap)
+
     @_chunked_over_rays(ray_chunk)
     def cast(ro_f, rd_f):
         R = ro_f.shape[0]
@@ -190,7 +202,7 @@ def make_culled_cast(geom: WorldGeometry, max_candidates: int = 64,
             ro_f[:, None, :], rd_f[:, None, :], amin[None], amax[None]
         )  # [R, N]
         score = jnp.where(hit_box, -t_entry, -jnp.inf)
-        _, cand = jax.lax.top_k(score, K)  # [R, K] instance ids, nearest first
+        top_scores, cand = jax.lax.top_k(score, K)  # [R, K] nearest first
         cand_ok = jnp.take_along_axis(hit_box, cand, axis=1)
 
         tri_idx = starts[cand][..., None] + jnp.arange(Tm)[None, None, :]  # [R,K,Tm]
@@ -213,11 +225,41 @@ def make_culled_cast(geom: WorldGeometry, max_candidates: int = 64,
         best_t = t[rows, arg]
         best_i = tri_idx.reshape(R, -1)[rows, arg]
         best_uv = uv.reshape(R, -1, 2)[rows, arg]
-        return Hit(
+        result = Hit(
             valid=jnp.isfinite(best_t),
             t=best_t,
             wtri=best_i.astype(jnp.int32),
             uv=best_uv,
+        )
+
+        if brute is None:
+            return result
+
+        # Rays whose closest hit is not proven: more boxes overlapped than
+        # examined AND (no hit found, or the hit lies beyond the nearest
+        # excluded box's entry).
+        overflow = cand_ok[:, K - 1] & (jnp.sum(hit_box, axis=1) > K)
+        excluded_entry = -top_scores[:, K - 1]  # entry time of Kth candidate
+        unresolved = overflow & (~result.valid | (best_t > excluded_entry))
+
+        U = min(fallback_cap, R)
+        order = jnp.argsort(~unresolved, stable=True)
+        sel = order[:U]
+        sel_active = unresolved[sel]
+        fb = brute(ro_f[sel], rd_f[sel])
+
+        def patch(cur, new):
+            upd = jnp.where(
+                sel_active.reshape(sel_active.shape + (1,) * (new.ndim - 1)),
+                new, cur[sel],
+            )
+            return cur.at[sel].set(upd)
+
+        return Hit(
+            valid=patch(result.valid, fb.valid),
+            t=patch(result.t, fb.t),
+            wtri=patch(result.wtri, fb.wtri),
+            uv=patch(result.uv, fb.uv),
         )
 
     return cast

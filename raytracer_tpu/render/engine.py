@@ -53,26 +53,8 @@ def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConf
     R = ray_o.shape[0]
     C = int(R * cfg.queue_factor)
 
-    def pad_to_c(x, fill=0):
-        pad = [(0, C - R)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, pad, constant_values=fill)
-
-    state = dict(
-        o=pad_to_c(ray_o),
-        d=pad_to_c(jnp.where(jnp.zeros((R, 1), bool), 0.0, ray_d)),
-        atten=pad_to_c(jnp.ones((R, 4), dtype=jnp.float32)),
-        in_obj=jnp.zeros((C,), dtype=bool),
-        active=pad_to_c(jnp.ones((R,), dtype=bool)),
-        pixel=pad_to_c(jnp.arange(R, dtype=jnp.int32)),
-    )
-    # Padding rays get a benign direction.
-    state["d"] = jnp.where(state["active"][:, None], state["d"],
-                           jnp.array([0.0, 0.0, 1.0]))
-
-    acc0 = jnp.zeros((R, 4), dtype=jnp.float32)
-
-    def round_body(carry, is_last_round):
-        st, acc, dropped = carry
+    def process_round(st, spawn_mask):
+        """Cast + shade one wavefront round; returns (contrib [Cn,4], children)."""
         hit = cast_fn(st["o"], st["d"])
         h_valid = st["active"] & hit.valid
         normal, mat_idx, _ = hit_shading_attrs(geom, hit)
@@ -90,23 +72,20 @@ def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConf
         lum = illuminate(scene, geom, cast_fn, cfg, st["o"], st["d"], hit,
                          normal, mat_idx, h_valid)
         contrib = jnp.where(h_valid[:, None], atten_eff * lum, 0.0)
-        acc = acc.at[st["pixel"]].add(contrib, mode="drop")
 
-        # ---- spawn children (masked when this is the final round) ----------
-        spawn_ok = h_valid & jnp.logical_not(is_last_round)
+        spawn_ok = h_valid & spawn_mask
         hit_pt = st["o"] + hit.t[:, None] * st["d"]
         reflective = jnp.any(kr > 0.0, axis=-1)
         refractive = jnp.any(kt > 0.0, axis=-1)
 
         refl_d = rm.normalize(rm.reflect(st["d"], normal))
-
         eta = mats.eta[mat_idx]
         n1 = jnp.where(st["in_obj"], eta, 1.0)
         n2 = jnp.where(st["in_obj"], 1.0, eta)
         refr_d, tir = rm.refract(st["d"], normal, n1, n2)
         refr_d = rm.normalize(refr_d)
 
-        cand = dict(
+        children = dict(
             o=jnp.concatenate([hit_pt, hit_pt]),
             d=jnp.concatenate([refl_d, refr_d]),
             atten=jnp.concatenate([atten_eff * kr, atten_eff]),
@@ -116,21 +95,68 @@ def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConf
             ),
             pixel=jnp.concatenate([st["pixel"], st["pixel"]]),
         )
+        return contrib, children
 
-        # ---- compact 2C candidates back to C (actives first, stable) -------
-        order = jnp.argsort(jnp.logical_not(cand["active"]), stable=True)
-        keep = order[:C]
-        new_state = {k: v[keep] for k, v in cand.items()}
-        new_state["d"] = jnp.where(new_state["active"][:, None], new_state["d"],
-                                   jnp.array([0.0, 0.0, 1.0]))
-        dropped = dropped + jnp.sum(cand["active"]) - jnp.sum(new_state["active"])
-        return (new_state, acc, dropped), None
+    def compact(children, cap):
+        """Sort actives to the front (stable — preserves spatial coherence),
+        keep ``cap`` items; returns (state, n_dropped)."""
+        order = jnp.argsort(jnp.logical_not(children["active"]), stable=True)
+        keep = order[:cap]
+        st = {k: v[keep] for k, v in children.items()}
+        st["d"] = jnp.where(st["active"][:, None], st["d"],
+                            jnp.array([0.0, 0.0, 1.0]))
+        dropped = jnp.sum(children["active"]) - jnp.sum(st["active"])
+        return st, dropped
 
-    n_rounds = cfg.recurse_depth + 1
-    is_last = jnp.arange(n_rounds) == (n_rounds - 1)
-    (state, acc, dropped), _ = jax.lax.scan(
-        round_body, (state, acc0, jnp.zeros((), jnp.int32)), is_last
+    # ---- round 0: primary rays; pixel ids are the identity, so the frame
+    # accumulation is a plain add (no scatter on the hot path).
+    primary = dict(
+        o=ray_o,
+        d=ray_d,
+        atten=jnp.ones((R, 4), dtype=jnp.float32),
+        in_obj=jnp.zeros((R,), dtype=bool),
+        active=jnp.ones((R,), dtype=bool),
+        pixel=jnp.arange(R, dtype=jnp.int32),
     )
+    spawn0 = jnp.asarray(cfg.recurse_depth > 0)
+    contrib0, children0 = process_round(primary, spawn0)
+    acc = contrib0
+    dropped0 = jnp.zeros((), jnp.int32)
+
+    if cfg.recurse_depth == 0:
+        return acc, dropped0
+
+    state, d0 = compact(children0, C)
+    dropped0 = dropped0 + d0
+
+    def later_round(r, st, acc, dropped):
+        spawn = r < cfg.recurse_depth  # rounds are 1..depth; the last spawns none
+        contrib, children = process_round(st, spawn)
+        acc = acc.at[st["pixel"]].add(contrib, mode="drop")
+        st2, dn = compact(children, C)
+        return st2, acc, dropped + dn
+
+    if cfg.early_exit:
+        def cond(carry):
+            r, st, acc, dropped = carry
+            return (r <= cfg.recurse_depth) & jnp.any(st["active"])
+
+        def body(carry):
+            r, st, acc, dropped = carry
+            st, acc, dropped = later_round(r, st, acc, dropped)
+            return r + 1, st, acc, dropped
+
+        _, state, acc, dropped = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), state, acc, dropped0)
+        )
+    else:
+        def body(r, carry):
+            st, acc, dropped = carry
+            return later_round(r, st, acc, dropped)
+
+        state, acc, dropped = jax.lax.fori_loop(
+            1, cfg.recurse_depth + 1, body, (state, acc, dropped0)
+        )
     return acc, dropped
 
 
@@ -160,16 +186,55 @@ def make_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig) -> CastFn:
     return make_brute_cast(geom, ray_chunk=cfg.ray_chunk)
 
 
+BLOCK = 32  # screen-space tile edge: one 32x32 block == one 1024-ray cast tile
+
+
+def _to_blocks(x, hp, wp):
+    """[Hp, Wp, ...] -> block-major [Hp*Wp, ...] (cheap transposes, no gathers)."""
+    lead = x.shape[2:]
+    x = x.reshape(hp // BLOCK, BLOCK, wp // BLOCK, BLOCK, *lead)
+    x = jnp.moveaxis(x, 1, 2)
+    return x.reshape(hp * wp, *lead)
+
+
+def _from_blocks(x, hp, wp):
+    lead = x.shape[1:]
+    x = x.reshape(hp // BLOCK, wp // BLOCK, BLOCK, BLOCK, *lead)
+    x = jnp.moveaxis(x, 2, 1)
+    return x.reshape(hp, wp, *lead)
+
+
 def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig):
     """Render one RGBA float frame [H, W, 4] (values clamped to <= 1 like the
     reference's canvas write).  Pure function of its inputs — jit/grad/shard
-    friendly."""
+    friendly.
+
+    Rays are reordered into 32x32 screen blocks before casting so each cast
+    tile covers a tight frustum (the tile-vote and candidate cull depend on
+    ray coherence); the reordering is pure reshape/transpose and is undone on
+    the accumulated frame."""
     geom = expand_geometry(scene)
     cast_fn = make_cast(scene, geom, cfg)
     ray_o, ray_d = camera_rays(camera, cfg.width, cfg.height)
-    img = render_rays(scene, geom, cast_fn, cfg,
-                      ray_o.reshape(-1, 3), ray_d.reshape(-1, 3))
-    return img.reshape(cfg.height, cfg.width, 4)
+
+    hp = (cfg.height + BLOCK - 1) // BLOCK * BLOCK
+    wp = (cfg.width + BLOCK - 1) // BLOCK * BLOCK
+    pad_h = hp - cfg.height
+    pad_w = wp - cfg.width
+    ray_o = jnp.pad(ray_o, ((0, pad_h), (0, pad_w), (0, 0)))
+    ray_d = jnp.pad(ray_d, ((0, pad_h), (0, pad_w), (0, 0)),
+                    constant_values=0.0)
+    if pad_h or pad_w:
+        yy = jnp.arange(hp)[:, None]
+        xx = jnp.arange(wp)[None, :]
+        pad_mask = (yy >= cfg.height) | (xx >= cfg.width)
+        ray_d = jnp.where(pad_mask[..., None], jnp.array([0.0, 0.0, 1.0]), ray_d)
+
+    ro_b = _to_blocks(ray_o, hp, wp)
+    rd_b = _to_blocks(ray_d, hp, wp)
+    img_b = render_rays(scene, geom, cast_fn, cfg, ro_b, rd_b)
+    img = _from_blocks(img_b, hp, wp)
+    return img[: cfg.height, : cfg.width]
 
 
 def frame_to_u8(img) -> "jnp.ndarray":

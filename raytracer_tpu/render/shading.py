@@ -79,7 +79,21 @@ def _march_shadow(scene: Scene, geom: WorldGeometry, cast_fn: CastFn,
         jnp.broadcast_to(max_t, origin.shape[:-1]),
         active,
     )
-    rv, _, _, _ = jax.lax.fori_loop(0, cfg.shadow_steps, step, init)
+    if cfg.early_exit:
+        # March only while any ray still walks a transmissive chain — on typical
+        # scenes this executes 1 cast instead of shadow_steps.  (while_loop is
+        # not reverse-differentiable; training uses early_exit=False.)
+        def cond(carry):
+            i, st = carry
+            return (i < cfg.shadow_steps) & jnp.any(st[3])
+
+        def body(carry):
+            i, st = carry
+            return i + 1, step(i, st)
+
+        _, (rv, _, _, _) = jax.lax.while_loop(cond, body, (0, init))
+    else:
+        rv, _, _, _ = jax.lax.fori_loop(0, cfg.shadow_steps, step, init)
     return rv
 
 

@@ -165,6 +165,9 @@ class RenderConfig:
     #                              (cube meshes have 12); set by the scene loader
     fractional_pixels: bool = False  # reference casts through integer pixel corners
     #                                  (raytracer.cc:49-51); True enables subpixel spp
+    early_exit: bool = True  # skip empty bounce rounds / shadow steps with
+    #                          while_loops (not reverse-differentiable; the
+    #                          training path sets False to keep fori/scan)
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
