@@ -323,6 +323,21 @@ class SceneBuilder:
         )
 
 
+def scale_camera(cam: Camera, new_width: int, base_width: int) -> Camera:
+    """Adapt a camera to a different canvas resolution while keeping the same
+    field of view: pixel density (unit_to_pixels) scales with the width ratio,
+    the focal distance (global_near) is a world-space quantity and stays put.
+    Use this when rendering reduced-resolution previews/tests of a scene whose
+    camera was built for the config's full canvas — otherwise a smaller canvas
+    is a narrow center crop, not a downscale."""
+    import dataclasses
+
+    factor = np.float32(new_width / base_width)
+    return dataclasses.replace(
+        cam, unit_to_pixels=np.float32(cam.unit_to_pixels) * factor
+    )
+
+
 def make_camera(fov: float, unit_to_pixels: float, width: int, height: int) -> Camera:
     """Pinhole camera (reference: src/rayenv/camera.cu:6-9).  Note the reference
     computes ``0.5*W / u2p / tan(fov)`` with the FULL fov, not fov/2 — preserved."""

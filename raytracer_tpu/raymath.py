@@ -35,7 +35,31 @@ def dot(a, b, keepdims=False):
 
 
 def norm(v):
-    return jnp.sqrt(jnp.sum(v * v, axis=-1))
+    """Euclidean length with a gradient-safe zero: sqrt has an infinite
+    derivative at 0, and reverse-mode through masked-out lanes would turn that
+    into NaNs (the where-grad trap); the double-where keeps d|v|/dv = 0 at v=0."""
+    s = jnp.sum(v * v, axis=-1)
+    pos = s > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, s, 1.0)), 0.0)
+
+
+def safe_sqrt(x):
+    """sqrt clamped at 0 with zero gradient there (not +inf)."""
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
+def safe_pow(base, exponent):
+    """``base ** exponent`` for base >= 0 with finite gradients at base == 0.
+
+    Matches C ``powf`` on the forward values used here: pow(0, 0) == 1,
+    pow(0, e>0) == 0; gradients at base == 0 are defined as 0 instead of the
+    true +/-inf (subgradient choice for optimization)."""
+    pos = base > 0
+    safe_base = jnp.where(pos, base, 1.0)
+    val = jnp.power(safe_base, exponent)
+    zero_case = jnp.where(exponent == 0.0, 1.0, 0.0)
+    return jnp.where(pos, val, zero_case)
 
 
 def normalize(v, eps=THRESHOLD):
@@ -73,7 +97,7 @@ def refract(d, n, n1, n2):
     cosi = dot(dn, nn, keepdims=True)
     sint2 = ratio * ratio * (1.0 - cosi * cosi)
     tir = (sint2 > 1.0)[..., 0]
-    refracted = ratio * dn + (ratio * cosi - jnp.sqrt(jnp.maximum(1.0 - sint2, 0.0))) * nn
+    refracted = ratio * dn + (ratio * cosi - safe_sqrt(1.0 - sint2)) * nn
     reflected = dn - 2.0 * cosi * nn
     out = jnp.where(tir[..., None], normalize(reflected), refracted)
     return d_len * out, tir

@@ -38,8 +38,10 @@ from .shading import illuminate
 
 def trans_attenuation(kt, time):
     """``time^Kt`` per channel (reference: src/rayenv/scene.cu:14-22).  Yes, the
-    base is the *time*, not Kt — preserved verbatim."""
-    return jnp.power(jnp.maximum(time, 0.0)[..., None], kt)
+    base is the *time*, not Kt — preserved verbatim.  Gradient-safe at 0."""
+    from .. import raymath as _rm
+
+    return _rm.safe_pow(jnp.maximum(time, 0.0)[..., None], kt)
 
 
 def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConfig,
@@ -56,6 +58,13 @@ def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConf
     def process_round(st, spawn_mask):
         """Cast + shade one wavefront round; returns (contrib [Cn,4], children)."""
         hit = cast_fn(st["o"], st["d"])
+        # Sanitize miss times (inf) immediately: downstream positions/lengths of
+        # masked-out lanes must stay finite or reverse-mode NaN-poisons every
+        # parameter gradient (the where-trap).
+        from .cast import Hit as _Hit
+
+        hit = _Hit(valid=hit.valid, t=jnp.where(hit.valid, hit.t, 1.0),
+                   wtri=hit.wtri, uv=hit.uv)
         h_valid = st["active"] & hit.valid
         normal, mat_idx, _ = hit_shading_attrs(geom, hit)
         kt = mats.kt[mat_idx]
@@ -63,9 +72,11 @@ def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConf
 
         # Transmission attenuation applies on every hit while inside a medium,
         # using the *hit* material's Kt and segment length (scene.cu:112-115).
+        in_medium = st["in_obj"] & h_valid
+        t_m = jnp.where(in_medium, hit.t, 1.0)  # mask inf t out of the pow grad
         atten_eff = jnp.where(
-            (st["in_obj"] & h_valid)[:, None],
-            st["atten"] * trans_attenuation(kt, hit.t),
+            in_medium[:, None],
+            st["atten"] * trans_attenuation(kt, t_m),
             st["atten"],
         )
 
@@ -173,9 +184,15 @@ def make_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig) -> CastFn:
     from .cast import make_culled_cast
 
     if cfg.engine == "pallas":
+        from .cast_vjp import detach_visibility
+
+        if cfg.pallas_kernel == "mxu":
+            from .pallas_mxu import make_mxu_cast
+
+            return detach_visibility(make_mxu_cast(scene, geom, cfg))
         from .pallas_engine import make_pallas_cast
 
-        return make_pallas_cast(scene, geom, cfg)
+        return detach_visibility(make_pallas_cast(scene, geom, cfg))
     if cfg.use_bvh:
         return make_culled_cast(
             geom,
@@ -215,7 +232,29 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig):
     the accumulated frame."""
     geom = expand_geometry(scene)
     cast_fn = make_cast(scene, geom, cfg)
-    ray_o, ray_d = camera_rays(camera, cfg.width, cfg.height)
+
+    if cfg.spp > 1:
+        # Average spp jittered sub-pixel sample frames (R2 low-discrepancy
+        # offsets; sample 0 stays at the reference's integer pixel corner so
+        # spp=1 is bit-identical to the reference behavior).
+        g = 1.32471795724474602596  # plastic constant
+        a1, a2 = 1.0 / g, 1.0 / (g * g)
+        acc = None
+        for s in range(cfg.spp):
+            if s == 0:
+                jitter = None
+            else:
+                off = jnp.array([(0.5 + a1 * s) % 1.0, (0.5 + a2 * s) % 1.0],
+                                jnp.float32)
+                jitter = jnp.broadcast_to(off, (cfg.height, cfg.width, 2))
+            img = _render_one(scene, geom, cast_fn, camera, cfg, jitter)
+            acc = img if acc is None else acc + img
+        return acc / cfg.spp
+    return _render_one(scene, geom, cast_fn, camera, cfg, None)
+
+
+def _render_one(scene, geom, cast_fn, camera, cfg, jitter):
+    ray_o, ray_d = camera_rays(camera, cfg.width, cfg.height, jitter=jitter)
 
     hp = (cfg.height + BLOCK - 1) // BLOCK * BLOCK
     wp = (cfg.width + BLOCK - 1) // BLOCK * BLOCK

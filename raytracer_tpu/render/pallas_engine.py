@@ -205,7 +205,10 @@ def tile_candidates(comps, tile_rows, inst_f32, max_cand):
     count = vote.sum(-1).astype(jnp.int32)  # [T]
     n = vote.shape[-1]
     c = min(max_cand, n)
-    order = jnp.argsort(jnp.logical_not(vote), axis=-1, stable=True)
+    # Near-to-far candidate order: early close hits let the kernel's
+    # ``tmin < best_t`` prune skip far candidates' triangle loops entirely.
+    # (Closest-hit results are order-independent, so this is purely a speedup.)
+    order = jnp.argsort(jnp.where(vote, tmin, jnp.inf), axis=-1, stable=True)
     cand = order[:, :c].astype(jnp.int32)
     overflow = count > c
     loop_n = jnp.where(overflow, jnp.int32(n), jnp.minimum(count, c))

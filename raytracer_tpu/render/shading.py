@@ -40,8 +40,8 @@ def distance_attenuation(scene: Scene, dist):
 
 
 def shadow_attenuation(kt, dist):
-    """``Kt^dist`` per channel (light.cu:19-26)."""
-    return jnp.power(kt, dist[..., None])
+    """``Kt^dist`` per channel (light.cu:19-26); gradient-safe at kt == 0."""
+    return rm.safe_pow(kt, dist[..., None])
 
 
 def _march_shadow(scene: Scene, geom: WorldGeometry, cast_fn: CastFn,
@@ -56,7 +56,8 @@ def _march_shadow(scene: Scene, geom: WorldGeometry, cast_fn: CastFn,
         hit = cast_fn(cur_o, dir_unit)
         h_norm, h_mat, _ = hit_shading_attrs(geom, hit)
         step_hit = alive & hit.valid
-        beyond = step_hit & (hit.t > remaining)  # blocker past the light: lit
+        t_fin = jnp.where(hit.valid, hit.t, 1.0)  # keep masked lanes finite
+        beyond = step_hit & (t_fin > remaining)
         kt = mats.kt[h_mat]
         refractive = jnp.any(kt > 0.0, axis=-1)
         opaque = step_hit & ~beyond & ~refractive
@@ -64,13 +65,16 @@ def _march_shadow(scene: Scene, geom: WorldGeometry, cast_fn: CastFn,
 
         rv = jnp.where(opaque[..., None], 0.0, rv)
         exiting = continuing & (rm.dot(h_norm, dir_unit) > 0.0)
-        atten = shadow_attenuation(kt, hit.t)
+        # Pre-mask the path length so inactive lanes (t == inf) cannot leak
+        # NaNs through the pow gradient.
+        t_m = jnp.where(continuing, t_fin, 1.0)
+        atten = shadow_attenuation(kt, t_m)
         rv = jnp.where(exiting[..., None], rv * atten, rv)
 
         cur_o = jnp.where(
-            continuing[..., None], cur_o + hit.t[..., None] * dir_unit, cur_o
+            continuing[..., None], cur_o + t_m[..., None] * dir_unit, cur_o
         )
-        remaining = jnp.where(continuing, remaining - hit.t, remaining)
+        remaining = jnp.where(continuing, remaining - t_m, remaining)
         return rv, cur_o, remaining, continuing
 
     init = (
@@ -107,7 +111,7 @@ def phong_term(scene: Scene, mat_idx, incoming, ray_dir, dir_to_light, normal):
     diffuse = norm_dot[..., None] * kd
     reflected = rm.reflect(-dir_to_light, normal)
     reflect_dot = rm.dot(-reflected, ray_dir)
-    spec = jnp.power(jnp.maximum(reflect_dot, 0.0), alpha)[..., None] * ks
+    spec = rm.safe_pow(jnp.maximum(reflect_dot, 0.0), alpha)[..., None] * ks
     return (diffuse + spec) * incoming
 
 

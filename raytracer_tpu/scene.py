@@ -155,6 +155,7 @@ class RenderConfig:
     shadow_steps: int = 4  # bounded version of the unbounded shadow march
     #                        (src/rayprimitives/light.cu:34-60); documented deviation
     engine: str = "jnp"  # "jnp" oracle | "pallas" TPU fast path
+    pallas_kernel: str = "mxu"  # "mxu" (pluecker matmuls) | "scalar" (v2 loop)
     use_bvh: bool = True  # False == reference's -r brute-force fallback
     ray_chunk: int = 16384  # rays per cast chunk (memory bound)
     queue_factor: float = 1.0  # wavefront queue capacity as a multiple of the
@@ -165,6 +166,9 @@ class RenderConfig:
     #                              (cube meshes have 12); set by the scene loader
     fractional_pixels: bool = False  # reference casts through integer pixel corners
     #                                  (raytracer.cc:49-51); True enables subpixel spp
+    spp: int = 1  # samples per pixel; > 1 averages low-discrepancy subpixel
+    #               samples (extension over the reference's fixed 1 spp —
+    #               BASELINE configs call for 4..128 spp)
     early_exit: bool = True  # skip empty bounce rounds / shadow steps with
     #                          while_loops (not reverse-differentiable; the
     #                          training path sets False to keep fori/scan)

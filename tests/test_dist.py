@@ -1,0 +1,66 @@
+"""Distribution: row-sharded rendering on the virtual 8-device CPU mesh must
+reproduce the single-device image, and the sharded differentiable train step
+must run (gradient reduction over ray shards inserted by XLA)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu import diff, dist, generate
+from raytracer_tpu.render.engine import render_frame
+from raytracer_tpu.scene import device_scene
+
+
+@pytest.fixture(scope="module")
+def world1():
+    w = generate("/root/reference/world1.json")
+    scene = device_scene(w.scene)
+    cam = jax.tree_util.tree_map(jnp.asarray, w.camera)
+    return w, scene, cam
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_render_matches_single(world1):
+    w, scene, cam = world1
+    cfg = w.config.replace(width=64, height=64, use_bvh=False)
+    single = np.asarray(render_frame(scene, cam, cfg))
+
+    mesh = dist.make_mesh()
+    run = dist.make_sharded_render(scene, cam, cfg, mesh)
+    sharded = np.asarray(run())
+    np.testing.assert_allclose(single, sharded, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_train_step(world1):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    w, scene, cam = world1
+    cfg = w.config.replace(width=32, height=32, use_bvh=False, early_exit=False,
+                           shadow_steps=1)
+    mesh = dist.make_mesh()
+    rep = dist.replicated(mesh)
+    row_sharded = NamedSharding(mesh, P(dist.RAY_AXIS, None, None))
+
+    scene_r = dist.shard_scene(scene, mesh)
+    cam_r = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), cam)
+    target = jax.device_put(jnp.zeros((32, 32, 4), jnp.float32), row_sharded)
+    params = diff.trainable_params(scene_r, cam_r)
+    params = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), params)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("cfg_",))
+    def step(scene_, camera_, cfg_, target_, params_):
+        value, grads, new_params = diff.train_step(
+            scene_, camera_, cfg_, target_, params_, lr=1e-2
+        )
+        return value, new_params
+
+    with mesh:
+        value, new_params = step(scene_r, cam_r, cfg, target, params)
+    assert np.isfinite(float(value))

@@ -1,0 +1,136 @@
+"""Pallas cast kernel vs the jnp oracle (interpret mode on CPU).
+
+The kernel's semantics must be bit-equal to the brute-force oracle: same hits,
+same times, same triangle ids, same barycentrics — for coherent primary tiles
+and for incoherent (shadow/bounce-like) ray batches."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_tpu import generate
+from raytracer_tpu.render.cast import make_brute_cast
+from raytracer_tpu.render.geometry import camera_rays, expand_geometry
+from raytracer_tpu.render import pallas_engine as pe
+from raytracer_tpu.scene import device_scene
+
+
+@pytest.fixture(scope="module")
+def world8():
+    w = generate("/root/reference/world8.json")
+    scene = device_scene(w.scene)
+    cam = jax.tree_util.tree_map(jnp.asarray, w.camera)
+    geom = expand_geometry(scene)
+    return w, scene, cam, geom
+
+
+def _compare(hit_p, hit_b):
+    vp = np.asarray(hit_p.valid)
+    vb = np.asarray(hit_b.valid)
+    assert (vp == vb).all()
+    both = vp & vb
+    np.testing.assert_allclose(
+        np.asarray(hit_p.t)[both], np.asarray(hit_b.t)[both], rtol=1e-5, atol=1e-5
+    )
+    assert (np.asarray(hit_p.wtri)[both] == np.asarray(hit_b.wtri)[both]).all()
+    np.testing.assert_allclose(
+        np.asarray(hit_p.uv)[both], np.asarray(hit_b.uv)[both], atol=1e-4
+    )
+
+
+def test_pallas_cast_matches_oracle_coherent(world8):
+    w, scene, cam, geom = world8
+    ro, rd = camera_rays(cam, 128, 96)
+    ro = ro.reshape(-1, 3)
+    rd = rd.reshape(-1, 3)
+    hit_p = pe.make_pallas_cast(scene, geom, w.config)(ro, rd)
+    hit_b = make_brute_cast(geom)(ro, rd)
+    assert int(np.asarray(hit_b.valid).sum()) > 0
+    _compare(hit_p, hit_b)
+
+
+def test_pallas_cast_matches_oracle_incoherent(world8):
+    w, scene, cam, geom = world8
+    rng = np.random.RandomState(0)
+    o = jnp.asarray(rng.uniform(-5, 5, (1024, 3)).astype(np.float32))
+    d = rng.randn(1024, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    hit_p = pe.make_pallas_cast(scene, geom, w.config)(o, d)
+    hit_b = make_brute_cast(geom)(o, d)
+    assert int(np.asarray(hit_b.valid).sum()) > 0
+    _compare(hit_p, hit_b)
+
+
+def test_mxu_cast_matches_oracle_coherent(world8):
+    from raytracer_tpu.render.pallas_mxu import make_mxu_cast
+
+    w, scene, cam, geom = world8
+    ro, rd = camera_rays(cam, 128, 96)
+    ro = ro.reshape(-1, 3)
+    rd = rd.reshape(-1, 3)
+    hit_m = make_mxu_cast(scene, geom, w.config)(ro, rd)
+    hit_b = make_brute_cast(geom)(ro, rd)
+    vm = np.asarray(hit_m.valid)
+    vb = np.asarray(hit_b.valid)
+    # Different accept formulation (pluecker sign vs area-sum): allow a tiny
+    # edge-pixel disagreement budget.
+    assert (vm != vb).mean() < 0.001
+    both = vm & vb
+    np.testing.assert_allclose(
+        np.asarray(hit_m.t)[both], np.asarray(hit_b.t)[both], rtol=1e-4, atol=1e-4
+    )
+    assert (np.asarray(hit_m.wtri)[both] == np.asarray(hit_b.wtri)[both]).mean() > 0.999
+
+
+def test_mxu_cast_matches_oracle_incoherent(world8):
+    from raytracer_tpu.render.pallas_mxu import make_mxu_cast
+
+    w, scene, cam, geom = world8
+    rng = np.random.RandomState(1)
+    o = jnp.asarray(rng.uniform(-5, 5, (1024, 3)).astype(np.float32))
+    d = rng.randn(1024, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    hit_m = make_mxu_cast(scene, geom, w.config)(o, d)
+    hit_b = make_brute_cast(geom)(o, d)
+    vm = np.asarray(hit_m.valid)
+    vb = np.asarray(hit_b.valid)
+    assert (vm != vb).mean() < 0.005
+    both = vm & vb
+    np.testing.assert_allclose(
+        np.asarray(hit_m.t)[both], np.asarray(hit_b.t)[both], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_tile_candidates_conservative(world8):
+    """Every instance any ray of a tile overlaps must appear in the tile's
+    candidate list (or the tile must be flagged overflow)."""
+    from raytracer_tpu import raymath as rm
+
+    w, scene, cam, geom = world8
+    ro, rd = camera_rays(cam, 64, 64)
+    ro = ro.reshape(-1, 3)
+    rd = rd.reshape(-1, 3)
+    tables = pe.build_tables(scene, geom)
+    comps = [ro[:, 0].reshape(-1, 128), ro[:, 1].reshape(-1, 128),
+             ro[:, 2].reshape(-1, 128), rd[:, 0].reshape(-1, 128),
+             rd[:, 1].reshape(-1, 128), rd[:, 2].reshape(-1, 128)]
+    tile_rows = 8
+    cand, info = pe.tile_candidates(comps, tile_rows, tables.inst_f32, 64)
+    cand = np.asarray(cand)
+    info = np.asarray(info)
+
+    hit, _ = rm.ray_aabb(
+        ro[:, None, :], rd[:, None, :], geom.aabb_min[None], geom.aabb_max[None]
+    )
+    hit = np.asarray(hit)  # [R, N]
+    tile = tile_rows * 128
+    n_tiles = hit.shape[0] // tile
+    for ti in range(n_tiles):
+        per_tile = hit[ti * tile : (ti + 1) * tile].any(0)
+        needed = set(np.nonzero(per_tile)[0])
+        if info[ti, 1]:
+            continue  # overflow: kernel loops everything
+        listed = set(cand[ti, : info[ti, 0]])
+        assert needed <= listed, f"tile {ti} missing {needed - listed}"
