@@ -29,6 +29,42 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def _unfilter_py(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Pure-Python PNG scanline unfiltering (fallback when the native library
+    isn't built)."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    off = 0
+    for y in range(height):
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).copy()
+        off += 1 + stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (int(line[x]) + int(line[x - bpp])) & 0xFF
+        elif ftype == 2:  # Up
+            line = (line.astype(np.int32) + prev.astype(np.int32)).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(line[x - bpp]) if x >= bpp else 0
+                line[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = int(line[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                line[x] = (
+                    int(line[x])
+                    + int(_paeth(np.uint8(left), np.uint8(prev[x]), np.uint8(ul)))
+                ) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = line
+        prev = line
+    return out
+
+
 def read_png(path: str) -> np.ndarray:
     """Decode a PNG file to an RGBA8 array of shape [H, W, 4]."""
     with open(path, "rb") as fh:
@@ -80,41 +116,14 @@ def read_png(path: str) -> np.ndarray:
     else:
         raise ValueError(f"{path}: unsupported bitdepth {bitdepth}")
 
-    # Unfilter scanlines.
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    off = 0
-    for y in range(height):
-        ftype = raw[off]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).copy()
-        off += 1 + stride
-        if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub
-            for x in range(bpp, stride):
-                line[x] = (int(line[x]) + int(line[x - bpp])) & 0xFF
-        elif ftype == 2:  # Up
-            line = (line.astype(np.int32) + prev.astype(np.int32)).astype(np.uint8)
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = int(line[x - bpp]) if x >= bpp else 0
-                line[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                left = int(line[x - bpp]) if x >= bpp else 0
-                ul = int(prev[x - bpp]) if x >= bpp else 0
-                line[x] = (
-                    int(line[x])
-                    + int(
-                        _paeth(
-                            np.uint8(left), np.uint8(prev[x]), np.uint8(ul)
-                        )
-                    )
-                ) & 0xFF
-        else:
-            raise ValueError(f"{path}: bad filter type {ftype}")
-        out[y] = line
-        prev = line
+    # Unfilter scanlines (native fast path when built; python fallback below).
+    from . import native as _native
+
+    nat = _native.png_unfilter(raw, height, stride, bpp)
+    if nat is not None:
+        out = nat
+    else:
+        out = _unfilter_py(raw, height, stride, bpp)
 
     # Expand to samples.
     if bitdepth in (1, 2, 4):
