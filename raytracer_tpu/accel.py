@@ -149,7 +149,10 @@ def traverse_mask_reference(bvh: LBVH, ro, rd):
         else:
             parent_reach = jnp.repeat(reach, 2, axis=-1)
             reach = parent_reach & hit
-    return reach  # [..., n] leaf reachability
+    # The walk runs in virtual-index order (vidx n..2n-1); flat leaf order is
+    # its mirror (flat = (2n-1) - vidx, bvh.cc:48-50) — flip to align with
+    # ``ordering``/``box_min`` leaf indexing.
+    return reach[..., ::-1]  # [..., n] leaf reachability (flat order)
 
 
 def leaf_instances(bvh: LBVH, leaf_mask):

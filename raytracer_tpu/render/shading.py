@@ -101,10 +101,27 @@ def _march_shadow(scene: Scene, geom: WorldGeometry, cast_fn: CastFn,
     return rv
 
 
-def phong_term(scene: Scene, mat_idx, incoming, ray_dir, dir_to_light, normal):
+def sample_atlas(scene: Scene, geom: WorldGeometry, hit: Hit):
+    """Nearest-neighbor atlas sample for a hit (extension; the reference's
+    texture objects use point filtering + clamp addressing, gputils/alloc.h:49-53).
+    TextureCoords (texture_x, texture_y, u, v) define an atlas rect; the hit's
+    barycentric uv interpolates inside it."""
+    tri = scene.wtri_tri[hit.wtri]
+    rect = scene.tri_coord_rect[tri]  # [.,4]
+    degenerate = scene.tri_coord_degenerate[tri]
+    h, w = scene.atlas.shape[0], scene.atlas.shape[1]
+    px = jnp.clip((rect[..., 0] + hit.uv[..., 0] * rect[..., 2]).astype(jnp.int32),
+                  0, w - 1)
+    py = jnp.clip((rect[..., 1] + hit.uv[..., 1] * rect[..., 3]).astype(jnp.int32),
+                  0, h - 1)
+    return scene.atlas[py, px], degenerate
+
+
+def phong_term(scene: Scene, mat_idx, incoming, ray_dir, dir_to_light, normal,
+               kd_override=None):
     """One light's Phong contribution (phong.cu:14-33)."""
     mats = scene.materials
-    kd = mats.kd[mat_idx]
+    kd = mats.kd[mat_idx] if kd_override is None else kd_override
     ks = mats.ks[mat_idx]
     alpha = mats.alpha[mat_idx]
     norm_dot = jnp.maximum(rm.dot(dir_to_light, normal), 0.0)
@@ -122,6 +139,11 @@ def illuminate(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderCo
     hit_pos = ray_o + hit.t[..., None] * ray_d
     col = mats.ke[mat_idx] + mats.ka[mat_idx] * scene.ambience
 
+    kd_override = None
+    if cfg.texture_mapping:
+        tex, degenerate = sample_atlas(scene, geom, hit)
+        kd_override = jnp.where(degenerate[..., None], mats.kd[mat_idx], tex)
+
     n_point = scene.lights.point_pos.shape[0]
     for i in range(n_point):
         lpos = scene.lights.point_pos[i]
@@ -133,7 +155,8 @@ def illuminate(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderCo
         incoming = datten[..., None] * _march_shadow(
             scene, geom, cast_fn, hit_pos, dir_to_light, dist, lcol, cfg, active
         )
-        col = col + phong_term(scene, mat_idx, incoming, ray_d, dir_to_light, normal)
+        col = col + phong_term(scene, mat_idx, incoming, ray_d, dir_to_light,
+                               normal, kd_override)
 
     n_dir = scene.lights.dir_dir.shape[0]
     for i in range(n_dir):
@@ -144,5 +167,6 @@ def illuminate(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderCo
         incoming = _march_shadow(
             scene, geom, cast_fn, hit_pos, march_dir, jnp.inf, lcol, cfg, active
         )
-        col = col + phong_term(scene, mat_idx, incoming, ray_d, dir_to_light, normal)
+        col = col + phong_term(scene, mat_idx, incoming, ray_d, dir_to_light,
+                               normal, kd_override)
     return col

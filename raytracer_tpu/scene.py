@@ -169,6 +169,9 @@ class RenderConfig:
     spp: int = 1  # samples per pixel; > 1 averages low-discrepancy subpixel
     #               samples (extension over the reference's fixed 1 spp —
     #               BASELINE configs call for 4..128 spp)
+    texture_mapping: bool = False  # sample the atlas for non-degenerate
+    #               TextureCoords (the reference loads the atlas but left
+    #               sampling as a TODO, phong.cu:19-23; off = parity)
     early_exit: bool = True  # skip empty bounce rounds / shadow steps with
     #                          while_loops (not reverse-differentiable; the
     #                          training path sets False to keep fori/scan)
