@@ -16,6 +16,31 @@ import time
 
 BASELINE_WORLD8_MS = 13.5  # midpoint of the reference GPU plateau (BASELINE.md)
 
+_NULL_FETCH_MS = None
+
+
+def _sync_ms():
+    """Per-call host round-trip latency of a trivial fetch (this environment's
+    TPU relay makes ``block_until_ready`` unreliable as a fence — the only
+    trustworthy sync is fetching a scalar derived from the result, so every
+    timing below does that and subtracts this latency)."""
+    global _NULL_FETCH_MS
+    if _NULL_FETCH_MS is None:
+        import jax
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda x: jnp.sum(x))
+        x = jnp.ones((8,))
+        float(f(x))
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(f(x))
+            times.append((time.perf_counter() - t0) * 1e3)
+        _NULL_FETCH_MS = min(times)
+        print(f"null fetch: {_NULL_FETCH_MS:.2f} ms", file=sys.stderr)
+    return _NULL_FETCH_MS
+
 
 def bench_world(config_path: str, width=640, height=480, repeats=3,
                 use_bvh=True):
@@ -33,18 +58,62 @@ def bench_world(config_path: str, width=640, height=480, repeats=3,
                            engine="pallas" if on_accel else "jnp")
     scene = device_scene(w.scene)
     camera = jax.tree_util.tree_map(jnp.asarray, w.camera)
-    render = jax.jit(render_frame, static_argnames=("cfg",))
 
-    img = render(scene, camera, cfg)
-    jax.block_until_ready(img)  # compile warm-up
+    @jax.jit
+    def frame_checksum(scene_, camera_):
+        return jnp.sum(render_frame(scene_, camera_, cfg))
 
+    checksum = float(frame_checksum(scene, camera))  # compile warm-up + sync
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        img = render(scene, camera, cfg)
-        jax.block_until_ready(img)
+        float(frame_checksum(scene, camera))
         times.append((time.perf_counter() - t0) * 1e3)
-    return min(times), img
+    ms = max(min(times) - _sync_ms(), 1e-3)
+    return ms, checksum
+
+
+def bench_fwd_bwd(config_path: str, width=1920, height=1080, repeats=3):
+    """North-star detail metric (BASELINE.json): Mrays/sec/chip fwd+bwd at
+    1080p on world8 — one forward render + backward pass to materials, lights,
+    and camera pose per measured step."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_tpu import diff, generate
+    from raytracer_tpu.builder import scale_camera
+    from raytracer_tpu.scene import device_scene
+
+    w = generate(config_path)
+    on_accel = jax.default_backend() != "cpu"
+    cfg = w.config.replace(
+        width=width, height=height, ray_chunk=16384, early_exit=False,
+        engine="pallas" if on_accel else "jnp",
+    )
+    scene = device_scene(w.scene)
+    camera = scale_camera(w.camera, width, w.config.width)
+    camera = jax.tree_util.tree_map(jnp.asarray, camera)
+    params = diff.trainable_params(scene, camera)
+    target = jnp.zeros((height, width, 4), jnp.float32)
+
+    @jax.jit
+    def step(params_):
+        loss_fn = diff.make_loss_fn(scene, camera, cfg, target)
+        value, grads = jax.value_and_grad(loss_fn)(params_)
+        gsum = sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(grads))
+        return value + 0.0 * gsum, grads
+
+    value, _ = step(params)
+    float(value)  # compile warm-up + sync
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        value, _ = step(params)
+        float(value)
+        times.append(time.perf_counter() - t0)
+    s = max(min(times) - _sync_ms() * 1e-3, 1e-6)
+    mrays = width * height / s / 1e6
+    return s * 1e3, mrays
 
 
 def main():
@@ -65,6 +134,16 @@ def main():
             )
         except Exception as e:  # pragma: no cover
             print(f"{name}: FAILED {e}", file=sys.stderr)
+
+    try:
+        ms_fb, mrays_fb = bench_fwd_bwd("/root/reference/world8.json")
+        print(
+            f"world8 1080p fwd+bwd: {ms_fb:.2f} ms/step "
+            f"({mrays_fb:.2f} Mrays/s/chip)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"world8 fwd+bwd: FAILED {e}", file=sys.stderr)
 
     ms = detail.get("world8")
     if ms is None:

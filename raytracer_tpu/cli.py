@@ -46,7 +46,42 @@ def build_parser() -> argparse.ArgumentParser:
         help="trace one pixel verbosely (single-ray probe)",
     )
     p.add_argument("--repeats", type=int, default=1, help="bench repetitions")
+    p.add_argument(
+        "--orbit", type=int, default=0, metavar="N",
+        help="render an N-frame turntable fly-through (headless analog of the "
+             "reference's interactive window) to --out-dir, reporting FPS over "
+             "5-frame samples like the reference overlay (main.cc:106-200)",
+    )
+    p.add_argument(
+        "--interactive", action="store_true",
+        help="stdin-driven camera loop: lines 'w|a|s|d', 'mouse DX DY', "
+             "'click X Y' (debug probe), 'quit'; each command re-renders to "
+             "--out (the reference SDL loop without the window)",
+    )
+    p.add_argument("--out-dir", default="frames", help="orbit frame directory")
     return p
+
+
+SAMPLE_PERIOD = 5  # FPS sample window, frames (reference main.cc:21)
+
+
+def _fps_loop(render_np, cameras, on_frame):
+    """Drive ``render_np(camera) -> np image`` over ``cameras``, reporting FPS
+    over SAMPLE_PERIOD-frame windows exactly like the reference overlay."""
+    import time
+
+    count, t0 = 0, time.perf_counter()
+    fps = None
+    for i, cam in enumerate(cameras):
+        img = render_np(cam)
+        on_frame(i, img)
+        count += 1
+        if count == SAMPLE_PERIOD:
+            t1 = time.perf_counter()
+            fps = count / (t1 - t0)
+            print(f"FPS: {fps:.1f}")
+            count, t0 = 0, t1
+    return fps
 
 
 def main(argv=None) -> int:
@@ -67,11 +102,12 @@ def main(argv=None) -> int:
         cfg = cfg.replace(width=args.width)
     if args.height:
         cfg = cfg.replace(height=args.height)
-    # -s pins the brute-force oracle; default is the accelerated XLA path.
-    # (The Pallas engine slots in here once cfg.engine == "pallas" exists.)
+    # -s pins the pure-jnp oracle (the reference's serial path); default on an
+    # accelerator is the Pallas engine, on CPU the XLA culled path.
+    on_accel = jax.default_backend() != "cpu"
     cfg = cfg.replace(
         use_bvh=not args.no_bvh and not args.reference_impl,
-        engine="jnp",
+        engine="pallas" if (on_accel and not args.reference_impl) else "jnp",
     )
     scene = device_scene(world.scene)
     camera = jax.tree_util.tree_map(jnp.asarray, world.camera)
@@ -85,6 +121,60 @@ def main(argv=None) -> int:
         return 0
 
     render = jax.jit(render_frame, static_argnames=("cfg",))
+
+    if args.orbit or args.interactive:
+        import os
+
+        from . import camera_motion as cm
+        from .render.engine import frame_to_u8
+
+        def render_np(cam):
+            img = render(scene, cam, cfg)
+            return np.asarray(frame_to_u8(img))
+
+        if args.orbit:
+            os.makedirs(args.out_dir, exist_ok=True)
+
+            def save(i, img):
+                write_png(os.path.join(args.out_dir, f"frame_{i:04d}.png"),
+                          img[..., :3])
+
+            _fps_loop(render_np, cm.orbit_frames(camera, args.orbit), save)
+            print(f"wrote {args.orbit} frames to {args.out_dir}/")
+            return 0
+
+        # --interactive: the reference's event loop, driven by stdin lines.
+        out = args.out or "frame.png"
+        cam = camera
+        img = render_np(cam)
+        write_png(out, img[..., :3])
+        print(f"interactive: w/a/s/d, 'mouse DX DY', 'click X Y', 'quit'; "
+              f"frame -> {out}", flush=True)
+        for line in sys.stdin:
+            parts = line.strip().split()
+            if not parts:
+                continue
+            if parts[0] in ("quit", "q", "esc"):
+                break
+            if parts[0] in ("w", "a", "s", "d"):
+                cam = cm.key_move(cam, parts[0])
+            elif parts[0] == "mouse" and len(parts) == 3:
+                cam = cm.mouse_look(cam, float(parts[1]), float(parts[2]))
+            elif parts[0] == "click" and len(parts) == 3:
+                from .debug import debug_cast
+
+                debug_cast(scene, cam, cfg, int(parts[1]), int(parts[2]))
+                continue
+            else:
+                print(f"? {line.strip()}", flush=True)
+                continue
+            t0 = time.perf_counter()
+            img = render_np(cam)
+            write_png(out, img[..., :3])
+            dt = time.perf_counter() - t0
+            print(f"frame: {dt * 1e3:.1f} ms ({1.0 / dt:.1f} FPS)", flush=True)
+        print("Exiting...")  # main.cc:205
+        return 0
 
     if args.bench:
         # Warm-up compile (excluded, like the reference's already-warm GPU ctx).

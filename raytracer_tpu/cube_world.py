@@ -183,6 +183,10 @@ def generate(config_path: str, atlas_search_root: Optional[str] = None) -> Gener
         recurse_depth=depth,
         max_tris_per_mesh=max_tris,
         max_candidates=min(64, max(scene.inst_pos.shape[0], 1)),
+        # Static material facts (material.h:104-112): lets the engine drop
+        # impossible bounce spawns / transmissive shadow marching at trace time.
+        any_reflective=bool(np.any(np.asarray(scene.materials.kr) > 0.0)),
+        any_refractive=bool(np.any(np.asarray(scene.materials.kt) > 0.0)),
     )
     return GeneratedWorld(
         scene=scene,

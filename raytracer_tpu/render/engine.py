@@ -55,6 +55,11 @@ def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConf
     R = ray_o.shape[0]
     C = int(R * cfg.queue_factor)
 
+    # Static scene facts: when no material can reflect/refract, no child ray can
+    # ever activate (material.h:104-112), so the whole bounce machinery drops
+    # out of the compiled program.
+    can_spawn = (cfg.any_reflective or cfg.any_refractive) and cfg.recurse_depth > 0
+
     def process_round(st, spawn_mask):
         """Cast + shade one wavefront round; returns (contrib [Cn,4], children)."""
         hit = cast_fn(st["o"], st["d"])
@@ -82,7 +87,30 @@ def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConf
 
         lum = illuminate(scene, geom, cast_fn, cfg, st["o"], st["d"], hit,
                          normal, mat_idx, h_valid)
-        contrib = jnp.where(h_valid[:, None], atten_eff * lum, 0.0)
+        vis = h_valid.astype(jnp.float32)
+        if cfg.edge_aware_grads:
+            # Edge-aware visibility (backward only): the hard hit mask is
+            # piecewise-constant, so silhouette motion carries no autodiff
+            # signal.  Replace its *gradient* with that of a mollified
+            # indicator of the hit's smallest barycentric e: a one-sided
+            # (interior) sigmoid ramp 2*(sigmoid(e/eps) - 1/2), whose interior
+            # half carries exactly the full boundary mass (hence the 2x).
+            # Forward value is unchanged (the correction is self-subtracting),
+            # so images stay bit-identical; backward gains the boundary term
+            # -L * d(edge)/d(theta) through the differentiable cast's uv.
+            # One-sided: occlusion boundaries see L_front - 0 instead of
+            # L_front - L_back (documented bias; exact vs background).
+            u = hit.uv[..., 0]
+            v = hit.uv[..., 1]
+            e = jnp.minimum(jnp.minimum(1.0 - u - v, u), v)
+            soft = 2.0 * (jax.nn.sigmoid(e / cfg.edge_eps) - 0.5)
+            vis = jnp.where(
+                h_valid, 1.0 + (soft - jax.lax.stop_gradient(soft)), 0.0
+            )
+        contrib = jnp.where(h_valid[:, None], vis[:, None] * atten_eff * lum, 0.0)
+
+        if not can_spawn:
+            return contrib, None
 
         spawn_ok = h_valid & spawn_mask
         hit_pt = st["o"] + hit.t[:, None] * st["d"]
@@ -134,7 +162,7 @@ def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConf
     acc = contrib0
     dropped0 = jnp.zeros((), jnp.int32)
 
-    if cfg.recurse_depth == 0:
+    if not can_spawn:
         return acc, dropped0
 
     state, d0 = compact(children0, C)

@@ -13,14 +13,15 @@ the arithmetic onto the MXU using the Pluecker-coordinate formulation:
   inside iff all ``b_i >= -tol``.  The hit time comes from plane rows in
   numerator/denominator form (denominator uses the *unit* normal so the
   reference's plane-parallel epsilon applies unchanged, geometry.h:254-261).
-* Per tile, candidate triangles' rows are staged from scene-wide VMEM tables
-  into matmul scratch with 5 contiguous block copies per candidate instance
-  (no scalar gathers).  Candidate lists and per-slot row starts come from the
-  XLA interval cull (pallas_engine.tile_candidates) via scalar prefetch.
-  Since instances' triangle rows are CONTIGUOUS in instance order, tiles whose
-  candidate count overflows the staging capacity simply sweep the whole table
-  in K-row chunks through the same matmul path — a dense brute-force fallback
-  that shares one code shape with the staged path.
+* Per tile, the K candidate triangle rows are *gathered by XLA* into
+  ``[T, 8, K]`` staged tensors (from the tile-candidate lists produced by the
+  XLA interval cull, pallas_engine.tile_candidates) and pipelined into VMEM by
+  the BlockSpec machinery — no in-kernel scalar staging loops.  Since
+  instances' triangle rows are CONTIGUOUS in instance order, tiles whose
+  candidate count overflows the staging width simply sweep the whole
+  (column-major ``[8, Wp]``) table in K-column chunks through the same matmul
+  path — a dense brute-force fallback sharing one code shape with the staged
+  path.
 
 Acceptance semantics: sign tests with a relative tolerance instead of the
 reference's area-sum tolerance (geometry.h:275-290) — boundary behavior can
@@ -75,8 +76,8 @@ class MxuSceneTables:
 def build_mxu_tables(scene: Scene, geom: WorldGeometry, pad_tris: int
                      ) -> MxuSceneTables:
     """World-space matmul row tables (trace-safe jnp ops).  ``pad_tris`` zero
-    rows at the end give staged copies a safe overrun region (zero rows have
-    degenerate planes and are rejected by the epsilon tests)."""
+    rows at the end give the dense sweep's last chunk a safe region (zero rows
+    have degenerate planes and are rejected by the epsilon tests)."""
     a, b, c = geom.a, geom.b, geom.c
     w = a.shape[0]
 
@@ -115,16 +116,14 @@ def build_mxu_tables(scene: Scene, geom: WorldGeometry, pad_tris: int
     )
 
 
-def _mxu_kernel(slot_starts_ref, info_ref,
-                ea_ref, eb_ref, ec_ref, pn_ref, pd_ref,
-                rd6_ref, rp8_ref, idrow_ref,
+def _mxu_kernel(info_ref,
+                ea_t, eb_t, ec_t, pn_t, pd_t,
+                sea, seb, sec, spn, spd, idrow_ref,
+                rd6_ref, rp8_ref,
                 t_out, id_out, u_out, v_out,
-                se_a, se_b, se_c, sp_n, sp_d,
-                *, tile: int, k: int, slots: int, max_tris: int,
-                n_tris: int, n_chunks: int):
+                *, tile: int, k: int, n_tris: int, n_chunks: int):
     tile_id = pl.program_id(0)
     overflow = info_ref[tile_id, 1]
-    n_stage = jnp.minimum(info_ref[tile_id, 0], slots)
 
     rd6 = rd6_ref[:]  # [tile, 8] = [d, m, 0, 0]  (pairs with edge rows [pxq, q-p])
     rp8 = rp8_ref[:]  # [tile, 8] = [o, d, 1, 0]
@@ -132,18 +131,19 @@ def _mxu_kernel(slot_starts_ref, info_ref,
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, k), 1).astype(jnp.float32)
 
     def score_block(ea, eb, ec, pn, pd, id_row):
-        """Intersect the ray tile against K staged rows; masked best-per-ray."""
-        def matnt(x, y):  # [tile, 8] x [K, 8] -> [tile, K], contract dim 1
+        """Intersect the ray tile against K columns; masked best-per-ray.
+        Table operands are ``[8, K]`` so each product is a plain MXU matmul."""
+        def mat(x, y):  # [tile, 8] @ [8, K] -> [tile, K]
             return jax.lax.dot_general(
-                x, y, (((1,), (1,)), ((), ())),
+                x, y, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
-        wa = matnt(rd6, ea)
-        wb = matnt(rd6, eb)
-        wc = matnt(rd6, ec)
-        num = matnt(rp8, pn)
-        den = matnt(rp8, pd)
+        wa = mat(rd6, ea)
+        wb = mat(rd6, eb)
+        wc = mat(rd6, ec)
+        num = mat(rp8, pn)
+        den = mat(rp8, pd)
 
         s = wa + wb + wc
         s_ok = jnp.abs(s) > 1e-30
@@ -183,35 +183,21 @@ def _mxu_kernel(slot_starts_ref, info_ref,
         jnp.zeros((tile, 1), jnp.float32),
     )
 
-    # ---- staged candidate path (common case) -------------------------------
+    # ---- staged candidate path (common case): rows pre-gathered by XLA ------
     def staged(best):
-        def stage_one(si, _):
-            r0 = slot_starts_ref[tile_id, si]
-            dst = pl.ds(si * max_tris, max_tris)
-            src = pl.ds(r0, max_tris)
-            se_a[dst, :] = ea_ref[src, :]
-            se_b[dst, :] = eb_ref[src, :]
-            se_c[dst, :] = ec_ref[src, :]
-            sp_n[dst, :] = pn_ref[src, :]
-            sp_d[dst, :] = pd_ref[src, :]
-            return _
-
-        # Only stage live candidate slots; empty slots' columns are masked by
-        # the XLA-built id row (id < 0), so stale scratch there is harmless.
-        jax.lax.fori_loop(0, n_stage, stage_one, None)
-        cand = score_block(se_a[:], se_b[:], se_c[:], sp_n[:], sp_d[:],
+        cand = score_block(sea[0], seb[0], sec[0], spn[0], spd[0],
                            idrow_ref[0, 0:1, :])
         return merge(best, cand)
 
-    # ---- dense sweep fallback (candidate overflow) -------------------------
+    # ---- dense sweep fallback (candidate overflow) --------------------------
     def dense(best):
         def chunk(ci, best):
             r0 = ci * k
-            src = pl.ds(r0, k)
+            sl = pl.ds(r0, k)
             ids = col_iota[:1] + jnp.float32(1.0) * r0  # [1, k]
             ids = jnp.where(ids < n_tris, ids, -1.0)
-            cand = score_block(ea_ref[src, :], eb_ref[src, :], ec_ref[src, :],
-                               pn_ref[src, :], pd_ref[src, :], ids)
+            cand = score_block(ea_t[:, sl], eb_t[:, sl], ec_t[:, sl],
+                               pn_t[:, sl], pd_t[:, sl], ids)
             return merge(best, cand)
 
         return jax.lax.fori_loop(0, n_chunks, chunk, best)
@@ -231,17 +217,19 @@ def make_mxu_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
     max_tris = int(cfg.max_tris_per_mesh)
     slots = k_cols // max_tris
     n_tris_real = geom.a.shape[0]
-    # pad the table so any staged copy (and the last dense chunk) stays in range
-    wp = (n_tris_real + k_cols - 1) // k_cols * k_cols + k_cols
+    # pad the table so the dense sweep's last chunk stays in range
+    wp = (n_tris_real + k_cols - 1) // k_cols * k_cols
     tables = build_mxu_tables(scene, geom, pad_tris=wp - n_tris_real)
     n_inst = tables.inst_f32.shape[0]
     n_chunks = wp // k_cols
-    pad_start = jnp.int32(wp - max_tris)
+
+    # Column-major [8, Wp] copies for the dense sweep (lane-dim chunk slices).
+    tables_t = [tables.edge_a.T, tables.edge_b.T, tables.edge_c.T,
+                tables.plane_num.T, tables.plane_den.T]
 
     tile = tile_rows * LANES
     kernel = functools.partial(
-        _mxu_kernel, tile=tile, k=k_cols, slots=slots, max_tris=max_tris,
-        n_tris=n_tris_real, n_chunks=n_chunks,
+        _mxu_kernel, tile=tile, k=k_cols, n_tris=n_tris_real, n_chunks=n_chunks,
     )
 
     def cast(ro, rd):
@@ -263,33 +251,46 @@ def make_mxu_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
         cand, info = tile_candidates(comps, tile_rows, tables.inst_f32, slots)
 
         n_tiles = rp // tile
-        # per-slot staged row starts (pad region when slot inactive)
+        # Per-tile candidate row ids [T, K]: slot s covers columns
+        # [s*max_tris, (s+1)*max_tris) with the slot instance's triangle rows.
         slot_ids = jnp.arange(slots)[None, :]
         in_range = slot_ids < info[:, :1]  # [T, slots]
-        cand_inst = jnp.clip(cand[:, :slots], 0, max(n_inst - 1, 0))
-        slot_starts = jnp.where(
-            in_range, tables.inst_start[cand_inst], pad_start
-        ).astype(jnp.int32)
-        # per-tile triangle-id rows for the staged path
+        cand_slots = cand[:, :slots]
+        if cand_slots.shape[1] < slots:  # fewer instances than staging slots
+            cand_slots = jnp.pad(
+                cand_slots, ((0, 0), (0, slots - cand_slots.shape[1]))
+            )
+        cand_inst = jnp.clip(cand_slots, 0, max(n_inst - 1, 0))
         tri_in_slot = jnp.arange(k_cols)[None, :] // max_tris  # col -> slot
         tri_off = jnp.arange(k_cols)[None, :] % max_tris
         col_start = jnp.take_along_axis(
-            slot_starts, jnp.broadcast_to(tri_in_slot, (n_tiles, k_cols)), axis=1
+            tables.inst_start[cand_inst],
+            jnp.broadcast_to(tri_in_slot, (n_tiles, k_cols)), axis=1,
         )
-        col_count = jnp.where(
+        col_live = (
             jnp.take_along_axis(
-                jnp.broadcast_to(in_range, (n_tiles, slots)),
-                jnp.broadcast_to(tri_in_slot, (n_tiles, k_cols)), axis=1),
-            jnp.take_along_axis(
+                in_range, jnp.broadcast_to(tri_in_slot, (n_tiles, k_cols)),
+                axis=1)
+            & (tri_off < jnp.take_along_axis(
                 tables.inst_count[cand_inst],
-                jnp.broadcast_to(tri_in_slot, (n_tiles, k_cols)), axis=1),
-            0,
+                jnp.broadcast_to(tri_in_slot, (n_tiles, k_cols)), axis=1))
         )
-        id_rows = jnp.where(
-            tri_off < col_count, (col_start + tri_off).astype(jnp.float32), -1.0
-        )
-        # Mosaic block constraint: second-to-last dim must be divisible by 8,
-        # so carry the per-tile id row as [T, 8, K] (row 0 used).
+        row_ids = col_start + tri_off  # [T, K] i32
+        id_rows = jnp.where(col_live, row_ids.astype(jnp.float32), -1.0)
+        safe_ids = jnp.clip(jnp.where(col_live, row_ids, 0), 0,
+                            max(wp - 1, 0))
+
+        # XLA-side staging: gather each table's candidate rows and lay them out
+        # [T, 8, K] so each tile's block is one (8 x K) MXU operand; dead
+        # columns are masked by id_rows < 0 in-kernel.
+        def stage(table):  # [Wp, 8] -> [T, 8, K]
+            return jnp.transpose(table[safe_ids], (0, 2, 1))
+
+        staged = [stage(tables.edge_a), stage(tables.edge_b),
+                  stage(tables.edge_c), stage(tables.plane_num),
+                  stage(tables.plane_den)]
+        # Mosaic block constraint: second-to-last dim divisible by 8 — carry the
+        # per-tile id row as [T, 8, K] (row 0 used).
         id_rows = jnp.broadcast_to(id_rows[:, None, :], (n_tiles, 8, k_cols))
 
         # ray matmul vectors
@@ -305,18 +306,17 @@ def make_mxu_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
 
         ray_spec = pl.BlockSpec((tile, 8), lambda i, *_: (i, 0),
                                 memory_space=pltpu.VMEM)
-        idrow_spec = pl.BlockSpec((1, 8, k_cols), lambda i, *_: (i, 0, 0),
-                                  memory_space=pltpu.VMEM)
+        staged_spec = pl.BlockSpec((1, 8, k_cols), lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
         table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((tile, 1), lambda i, *_: (i, 0),
                                 memory_space=pltpu.VMEM)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1,
             grid=(n_tiles,),
-            in_specs=[table_spec] * 5 + [ray_spec, ray_spec, idrow_spec],
+            in_specs=[table_spec] * 5 + [staged_spec] * 6 + [ray_spec] * 2,
             out_specs=[out_spec] * 4,
-            scratch_shapes=[pltpu.VMEM((k_cols, 8), jnp.float32)] * 5,
         )
         t, tri_f, u, v = pl.pallas_call(
             kernel,
@@ -328,8 +328,7 @@ def make_mxu_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
                 jax.ShapeDtypeStruct((rp, 1), jnp.float32),
             ],
             interpret=(jax.default_backend() == "cpu"),
-        )(slot_starts, info, tables.edge_a, tables.edge_b, tables.edge_c,
-          tables.plane_num, tables.plane_den, rd6, rp8, id_rows)
+        )(info, *tables_t, *staged, id_rows, rd6, rp8)
 
         t = t.reshape(rp)[:r]
         tri = jnp.maximum(tri_f.reshape(rp)[:r], 0.0).astype(jnp.int32)

@@ -51,6 +51,17 @@ def _march_shadow(scene: Scene, geom: WorldGeometry, cast_fn: CastFn,
     mats = scene.materials
     dir_unit = jnp.broadcast_to(dir_unit, origin.shape)
 
+    if not cfg.any_refractive:
+        # Static fast path: no material transmits, so the march degenerates to
+        # one occlusion query — a blocker strictly before the light kills it
+        # (light.cu:41-45), anything else leaves it lit.
+        o = origin + rm.THRESHOLD * dir_unit
+        hit = cast_fn(o, dir_unit)
+        t_fin = jnp.where(hit.valid, hit.t, 1.0)
+        blocked = active & hit.valid & (t_fin <= max_t)
+        lit = jnp.broadcast_to(light_col, origin.shape[:-1] + (4,))
+        return jnp.where(blocked[..., None], 0.0, lit)
+
     def step(_, carry):
         rv, cur_o, remaining, alive = carry
         hit = cast_fn(cur_o, dir_unit)

@@ -175,6 +175,17 @@ class RenderConfig:
     early_exit: bool = True  # skip empty bounce rounds / shadow steps with
     #                          while_loops (not reverse-differentiable; the
     #                          training path sets False to keep fori/scan)
+    any_reflective: bool = True  # static scene facts set by the loader: does any
+    any_refractive: bool = True  # material have Kr > 0 / Kt > 0?  False lets the
+    #                              engine drop bounce spawning / the transmissive
+    #                              shadow march at trace time (material.h:104-112
+    #                              gates the same spawns dynamically per hit)
+    edge_aware_grads: bool = False  # backward-only mollified silhouette
+    #               visibility: forward images are bit-identical, but autodiff
+    #               additionally carries boundary terms so gradients flow to
+    #               vertex positions / camera pose through silhouettes (needs a
+    #               differentiable cast, i.e. the jnp engine)
+    edge_eps: float = 0.05  # mollifier width in barycentric units
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

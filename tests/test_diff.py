@@ -77,6 +77,48 @@ def test_material_grad_matches_finite_difference(setup, field, idx):
     np.testing.assert_allclose(ad, fd, rtol=5e-2, atol=1e-5)
 
 
+def test_edge_aware_vertex_gradient_matches_fd(setup):
+    """Silhouette gradients to vertex positions (edge_aware_grads).
+
+    Translating every cube vertex along +x sweeps the silhouette across
+    pixels; the hard renderer's autodiff sees zero, the edge-aware backward
+    should approximate the finite-difference slope of the (pixel-integrated)
+    loss.  FD of a hard-visibility render is a staircase, so we use a step
+    that moves the silhouette ~a pixel and a generous tolerance — this pins
+    sign and scale, not ulps."""
+    import dataclasses
+
+    w, scene, cam, _cfg, _ = setup
+    cfg = _cfg.replace(edge_aware_grads=True, spp=4, recurse_depth=0)
+
+    def loss_of(shift):
+        s = dataclasses.replace(
+            scene, verts=scene.verts + jnp.array([shift, 0.0, 0.0]))
+        img = render_frame(s, cam, cfg)
+        return jnp.mean(img)
+
+    ad = float(jax.grad(loss_of)(0.0))
+    # pick h from the scene scale: cube edge ~ bbox extent
+    extent = float(jnp.max(scene.verts) - jnp.min(scene.verts))
+    h = 0.05 * extent
+    fd = (float(loss_of(h)) - float(loss_of(-h))) / (2 * h)
+    assert np.isfinite(ad) and np.isfinite(fd)
+    assert fd != 0.0, "test scene must have a visible silhouette"
+    # sign must agree; magnitude within 2.5x (mollifier + staircase bias)
+    assert ad * fd > 0.0, (ad, fd)
+    ratio = ad / fd
+    assert 0.4 < ratio < 2.5, (ad, fd, ratio)
+
+
+def test_edge_aware_forward_is_unchanged(setup):
+    w, scene, cam, _cfg, _ = setup
+    cfg0 = _cfg.replace(recurse_depth=0)
+    cfg1 = cfg0.replace(edge_aware_grads=True)
+    img0 = render_frame(scene, cam, cfg0)
+    img1 = render_frame(scene, cam, cfg1)
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+
+
 def test_train_step_reduces_loss(setup):
     w, scene, cam, cfg, _ = setup
     # target: the render with brighter diffuse; optimize toward it
