@@ -54,7 +54,7 @@ def bench_world(config_path: str, width=640, height=480, repeats=3,
     w = generate(config_path)
     on_accel = jax.default_backend() != "cpu"
     cfg = w.config.replace(width=width, height=height, use_bvh=use_bvh,
-                           ray_chunk=8192,
+                           ray_chunk=8192, pallas_kernel="scalar",
                            engine="pallas" if on_accel else "jnp")
     scene = device_scene(w.scene)
     camera = jax.tree_util.tree_map(jnp.asarray, w.camera)
@@ -88,6 +88,7 @@ def bench_fwd_bwd(config_path: str, width=1920, height=1080, repeats=3):
     on_accel = jax.default_backend() != "cpu"
     cfg = w.config.replace(
         width=width, height=height, ray_chunk=16384, early_exit=False,
+        pallas_kernel="scalar",
         engine="pallas" if on_accel else "jnp",
     )
     scene = device_scene(w.scene)
@@ -135,26 +136,40 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"{name}: FAILED {e}", file=sys.stderr)
 
+    fwd_bwd_ms = None
+    fwd_bwd_mrays = None
+    fwd_bwd_error = None
     try:
-        ms_fb, mrays_fb = bench_fwd_bwd("/root/reference/world8.json")
+        fwd_bwd_ms, fwd_bwd_mrays = bench_fwd_bwd(
+            "/root/reference/world8.json")
         print(
-            f"world8 1080p fwd+bwd: {ms_fb:.2f} ms/step "
-            f"({mrays_fb:.2f} Mrays/s/chip)",
+            f"world8 1080p fwd+bwd: {fwd_bwd_ms:.2f} ms/step "
+            f"({fwd_bwd_mrays:.2f} Mrays/s/chip)",
             file=sys.stderr,
         )
     except Exception as e:  # pragma: no cover
+        fwd_bwd_error = f"{type(e).__name__}: {e}"[:300]
         print(f"world8 fwd+bwd: FAILED {e}", file=sys.stderr)
 
     ms = detail.get("world8")
+    extras = {
+        "world1_ms": round(detail["world1"], 3) if "world1" in detail else None,
+        # north-star metric (BASELINE.json): Mrays/s/chip fwd+bwd, 1080p world8
+        "fwd_bwd_1080p_ms": round(fwd_bwd_ms, 3) if fwd_bwd_ms else None,
+        "fwd_bwd_1080p_mrays_per_s_chip": (
+            round(fwd_bwd_mrays, 3) if fwd_bwd_mrays else None),
+        "fwd_bwd_error": fwd_bwd_error,
+    }
     if ms is None:
         print(json.dumps({"metric": "world8_frame_ms", "value": None,
-                          "unit": "ms", "vs_baseline": None}))
+                          "unit": "ms", "vs_baseline": None, **extras}))
         return 1
     print(json.dumps({
         "metric": "world8_frame_ms",
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_WORLD8_MS / ms, 3),
+        **extras,
     }))
     return 0
 

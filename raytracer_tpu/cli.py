@@ -59,6 +59,22 @@ def build_parser() -> argparse.ArgumentParser:
              "--out (the reference SDL loop without the window)",
     )
     p.add_argument("--out-dir", default="frames", help="orbit frame directory")
+    p.add_argument(
+        "--train", type=int, default=0, metavar="N",
+        help="run N differentiable-rendering optimization steps (fit the "
+             "scene's materials/lights to --target-png, or to a perturbed "
+             "self-render when no target is given); emits one JSON stats "
+             "line per step and checkpoints to --checkpoint",
+    )
+    p.add_argument("--target-png", default=None,
+                   help="target image for --train (RGBA PNG)")
+    p.add_argument("--checkpoint", default="train_ckpt.npz",
+                   help="checkpoint path for --train (resumed if it exists)")
+    p.add_argument("--checkpoint-every", type=int, default=10,
+                   help="save the --train checkpoint every K steps")
+    p.add_argument("--lr", type=float, default=0.05, help="--train SGD rate")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the run to this dir")
     return p
 
 
@@ -84,6 +100,78 @@ def _fps_loop(render_np, cameras, on_frame):
     return fps
 
 
+def _train(args, scene, camera, cfg) -> int:
+    """Differentiable-rendering optimization loop: fit trainable scene
+    parameters (materials + lights) to a target image, emitting one
+    ``tracing.FrameStats`` JSON line per step and checkpointing/resuming via
+    ``checkpoint.save``/``load`` (new capability over the reference, which has
+    neither autodiff nor persistence — SURVEY.md §5)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import checkpoint, diff, tracing
+    from .render import render_frame
+    from .pngio import read_png
+
+    cfg = cfg.replace(early_exit=False)  # reverse-differentiable control flow
+
+    if args.target_png:
+        rgb = read_png(args.target_png).astype(np.float32) / 255.0
+        if rgb.shape[-1] == 3:
+            rgb = np.concatenate(
+                [rgb, np.ones(rgb.shape[:-1] + (1,), np.float32)], -1
+            )
+        target = jnp.asarray(rgb)
+        assert target.shape == (cfg.height, cfg.width, 4), (
+            f"target {target.shape} != frame {(cfg.height, cfg.width, 4)}"
+        )
+    else:
+        # Self-supervised fixture: the same scene with brighter diffuse.
+        import dataclasses
+
+        mats = scene.materials
+        bright = dataclasses.replace(mats, kd=mats.kd * 1.3)
+        target = render_frame(
+            dataclasses.replace(scene, materials=bright), camera, cfg
+        )
+
+    params = diff.trainable_params(scene, camera, include_camera=False)
+    start = 0
+    if os.path.exists(args.checkpoint):
+        params, start = checkpoint.load(args.checkpoint, params)
+        tracing.log("checkpoint_restored", path=args.checkpoint, step=start)
+
+    @jax.jit
+    def step_fn(params_):
+        return diff.train_step(scene, camera, cfg, target, params_,
+                               lr=args.lr)
+
+    stats = tracing.FrameStats(width=cfg.width, height=cfg.height,
+                               spp=cfg.spp)
+    ctx = (tracing.profile_trace(args.profile_dir)
+           if args.profile_dir else None)
+    if ctx is not None:
+        ctx.__enter__()
+    try:
+        for step in range(start, start + args.train):
+            with stats:
+                value, grads, params = step_fn(params)
+                value = float(value)
+            tracing.log("train_step", step=step, loss=value)
+            if (step + 1) % args.checkpoint_every == 0 or \
+                    step + 1 == start + args.train:
+                checkpoint.save(args.checkpoint, params, step=step + 1)
+    finally:
+        if ctx is not None:
+            ctx.__exit__(None, None, None)
+    print(f"trained {args.train} steps; final loss {value:.6f}; "
+          f"checkpoint -> {args.checkpoint}")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -98,7 +186,12 @@ def main(argv=None) -> int:
 
     world = generate(args.config)
     cfg = world.config
+    camera = world.camera
     if args.width:
+        # keep the full field of view when overriding the canvas size
+        from .builder import scale_camera
+
+        camera = scale_camera(camera, args.width, cfg.width)
         cfg = cfg.replace(width=args.width)
     if args.height:
         cfg = cfg.replace(height=args.height)
@@ -110,7 +203,7 @@ def main(argv=None) -> int:
         engine="pallas" if (on_accel and not args.reference_impl) else "jnp",
     )
     scene = device_scene(world.scene)
-    camera = jax.tree_util.tree_map(jnp.asarray, world.camera)
+    camera = jax.tree_util.tree_map(jnp.asarray, camera)
     print(f"Loaded scene: {args.config} ({cfg.width}x{cfg.height})")
 
     if args.debug_pixel:
@@ -119,6 +212,9 @@ def main(argv=None) -> int:
         x, y = args.debug_pixel
         debug_cast(scene, camera, cfg, x, y)
         return 0
+
+    if args.train:
+        return _train(args, scene, camera, cfg)
 
     render = jax.jit(render_frame, static_argnames=("cfg",))
 

@@ -71,14 +71,11 @@ def make_sharded_render(scene, camera, cfg, mesh: Mesh):
     """Return a jitted render over the mesh: rows of the image are sharded across
     chips, the scene is replicated, and the output image is row-sharded.
 
-    The height must divide evenly by the mesh size for clean row sharding; the
-    caller's cfg is adjusted by padding rows (cropped after)."""
+    The height need not divide the mesh size: GSPMD shards uneven dimensions
+    by padding the last shard internally, so any (height, mesh) pair works
+    (the padded rows simply waste a little work on the last device)."""
     from .render.engine import render_frame
 
-    n_dev = mesh.devices.size
-    assert cfg.height % n_dev == 0, (
-        f"height {cfg.height} must be divisible by mesh size {n_dev}"
-    )
     scene_r = shard_scene(scene, mesh)
     camera_r = jax.tree_util.tree_map(
         lambda x: jax.device_put(jnp.asarray(x), replicated(mesh)), camera

@@ -42,3 +42,24 @@ def detach_visibility(cast_fn: CastFn) -> CastFn:
 
     cast.defvjp(fwd, bwd)
     return cast
+
+
+def detach_occlusion(occl_fn):
+    """Wrap an any-hit query so autodiff treats its boolean as a constant
+    (occlusion is piecewise-constant anyway; without the wrapper, jvp tracing
+    still *visits* the pallas_call, which has no jvp rule)."""
+
+    @jax.custom_vjp
+    def occl(ro, rd, max_t):
+        return occl_fn(ro, rd, max_t)
+
+    def fwd(ro, rd, max_t):
+        return occl_fn(ro, rd, max_t), (ro, rd, max_t)
+
+    def bwd(res, _g):
+        ro, rd, max_t = res
+        return (jnp.zeros_like(ro), jnp.zeros_like(rd),
+                jnp.zeros_like(max_t))
+
+    occl.defvjp(fwd, bwd)
+    return occl

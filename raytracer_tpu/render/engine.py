@@ -45,8 +45,12 @@ def trans_attenuation(kt, time):
 
 
 def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConfig,
-             ray_o, ray_d):
+             ray_o, ray_d, pixel_angle=None):
     """Accumulated RGBA radiance for a flat batch of primary rays [R, 3].
+
+    ``pixel_angle`` (optional scalar) is the angular size of one pixel; when
+    given, the edge-aware gradient band is sized in *screen* pixels via the
+    ray footprint (see the edge_aware block).
 
     Returns ``(acc [R,4], dropped)`` where ``dropped`` counts spawned children
     that exceeded queue capacity (0 for every fixture world; raise
@@ -69,7 +73,7 @@ def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConf
         from .cast import Hit as _Hit
 
         hit = _Hit(valid=hit.valid, t=jnp.where(hit.valid, hit.t, 1.0),
-                   wtri=hit.wtri, uv=hit.uv)
+                   wtri=hit.wtri, uv=hit.uv, normal=hit.normal, mat=hit.mat)
         h_valid = st["active"] & hit.valid
         normal, mat_idx, _ = hit_shading_attrs(geom, hit)
         kt = mats.kt[mat_idx]
@@ -92,18 +96,52 @@ def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConf
             # Edge-aware visibility (backward only): the hard hit mask is
             # piecewise-constant, so silhouette motion carries no autodiff
             # signal.  Replace its *gradient* with that of a mollified
-            # indicator of the hit's smallest barycentric e: a one-sided
-            # (interior) sigmoid ramp 2*(sigmoid(e/eps) - 1/2), whose interior
-            # half carries exactly the full boundary mass (hence the 2x).
-            # Forward value is unchanged (the correction is self-subtracting),
-            # so images stay bit-identical; backward gains the boundary term
-            # -L * d(edge)/d(theta) through the differentiable cast's uv.
-            # One-sided: occlusion boundaries see L_front - 0 instead of
-            # L_front - L_back (documented bias; exact vs background).
+            # interior indicator: a one-sided linear hinge clip(e/band, 0, 1)
+            # on e = world-space distance from the hit point to the nearest
+            # edge of the hit triangle (min barycentric times that edge's
+            # altitude).  For a band of pixels straddling an edge, integrating
+            # (1/band) * de/dtheta across it yields exactly the boundary
+            # velocity term -L * dx_edge/dtheta, independent of the band width
+            # — so the width is chosen purely for *sampling*: when the caller
+            # supplies ``pixel_angle``, the band is sized to ``edge_px``
+            # SCREEN pixels via the ray footprint t*alpha/|n.d| (foreshortened
+            # silhouette faces would otherwise get sub-pixel bands that the
+            # pixel grid never samples), clamped to stay inside the triangle
+            # (<= 0.8 * inradius).  Forward value is unchanged (the correction
+            # is self-subtracting), so images stay bit-identical; backward
+            # gains the boundary term through the differentiable cast's uv and
+            # the gathered vertex positions.  One-sided: occlusion boundaries
+            # see L_front - 0 instead of L_front - L_back (documented bias;
+            # exact vs background).  Interior (shared) triangle edges carry
+            # bands on both sides with opposite-signed de/dtheta that cancel.
             u = hit.uv[..., 0]
             v = hit.uv[..., 1]
-            e = jnp.minimum(jnp.minimum(1.0 - u - v, u), v)
-            soft = 2.0 * (jax.nn.sigmoid(e / cfg.edge_eps) - 0.5)
+            b0 = 1.0 - u - v
+            w = hit.wtri
+            va, vb, vc = geom.a[w], geom.b[w], geom.c[w]
+            eab = vb - va
+            ebc = vc - vb
+            eca = va - vc
+            n2 = jnp.cross(eab, -eca)  # 2*area vector
+            area2 = rm.norm(n2)
+            safe = jnp.maximum(area2, 1e-12)
+            # altitudes: h_i = 2*Area / |opposite edge|
+            h_a = safe / jnp.maximum(rm.norm(ebc), 1e-12)  # b0 -> edge (b,c)
+            h_b = safe / jnp.maximum(rm.norm(eca), 1e-12)  # u  -> edge (c,a)
+            h_c = safe / jnp.maximum(rm.norm(eab), 1e-12)  # v  -> edge (a,b)
+            e_world = jnp.minimum(jnp.minimum(b0 * h_a, u * h_b), v * h_c)
+            if pixel_angle is None:
+                band = cfg.edge_eps * jnp.minimum(jnp.minimum(h_a, h_b), h_c)
+            else:
+                n_unit = n2 / safe[..., None]
+                nd = jnp.abs(jnp.sum(n_unit * st["d"], axis=-1))
+                foot = hit.t * pixel_angle / jnp.maximum(nd, 0.05)
+                r_in = safe / jnp.maximum(
+                    rm.norm(eab) + rm.norm(ebc) + rm.norm(eca), 1e-12
+                )
+                band = jnp.minimum(cfg.edge_px * foot, 0.8 * r_in)
+            band = jax.lax.stop_gradient(jnp.maximum(band, 1e-12))
+            soft = jnp.clip(e_world / band, 0.0, 1.0)
             vis = jnp.where(
                 h_valid, 1.0 + (soft - jax.lax.stop_gradient(soft)), 0.0
             )
@@ -200,16 +238,16 @@ def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConf
 
 
 def render_rays(scene: Scene, geom: WorldGeometry, cast_fn: CastFn,
-                cfg: RenderConfig, ray_o, ray_d):
+                cfg: RenderConfig, ray_o, ray_d, pixel_angle=None):
     """Radiance for arbitrary ray batches (flattened), clamped like the canvas
     write (raytracer.cc:55-58)."""
     acc, _ = radiance(scene, geom, cast_fn, cfg, ray_o.reshape(-1, 3),
-                      ray_d.reshape(-1, 3))
+                      ray_d.reshape(-1, 3), pixel_angle=pixel_angle)
     return jnp.minimum(acc, 1.0).reshape(ray_o.shape[:-1] + (4,))
 
 
 def make_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig) -> CastFn:
-    from .cast import make_culled_cast
+    from .cast import make_culled_cast, _chunked_over_rays
 
     if cfg.engine == "pallas":
         from .cast_vjp import detach_visibility
@@ -217,10 +255,26 @@ def make_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig) -> CastFn:
         if cfg.pallas_kernel == "mxu":
             from .pallas_mxu import make_mxu_cast
 
-            return detach_visibility(make_mxu_cast(scene, geom, cfg))
-        from .pallas_engine import make_pallas_cast
+            inner = make_mxu_cast(scene, geom, cfg)
+        else:
+            from .pallas_engine import make_pallas_cast
 
-        return detach_visibility(make_pallas_cast(scene, geom, cfg))
+            inner = make_pallas_cast(scene, geom, cfg)
+        # Chunk the kernel over rays so no frame-sized operand reaches the
+        # compiler in one piece (a 1080p fwd+bwd otherwise overflows SMEM with
+        # frame-sized prefetch operands; VERDICT r1 #1).  One 640x480 frame
+        # fits a single chunk, so the fast path is unchanged.
+        wrapped = detach_visibility(
+            _chunked_over_rays(cfg.pallas_ray_chunk)(inner)
+        )
+        occ = getattr(inner, "occlude", None)
+        if occ is not None:
+            from .cast_vjp import detach_occlusion
+
+            wrapped.occlude = detach_occlusion(
+                _chunked_over_rays(cfg.pallas_ray_chunk)(occ)
+            )
+        return wrapped
     if cfg.use_bvh:
         return make_culled_cast(
             geom,
@@ -262,21 +316,34 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig):
     cast_fn = make_cast(scene, geom, cfg)
 
     if cfg.spp > 1:
-        # Average spp jittered sub-pixel sample frames (R2 low-discrepancy
-        # offsets; sample 0 stays at the reference's integer pixel corner so
-        # spp=1 is bit-identical to the reference behavior).
+        # Average spp jittered sub-pixel sample frames: per-sample R2
+        # low-discrepancy offsets, decorrelated across pixels with a per-pixel
+        # toroidal shift (without the shift, every pixel samples the SAME
+        # sub-pixel positions, so a straight silhouette edge aliases with the
+        # whole pixel grid at once — fatal for edge-aware gradients).  The
+        # sample axis is a lax.scan so the whole spp sweep compiles ONE render
+        # body (spp=128 costs one compile, not 128 inlined casts).
+        # (spp=1 renders the reference's exact integer pixel corners.)
         g = 1.32471795724474602596  # plastic constant
         a1, a2 = 1.0 / g, 1.0 / (g * g)
-        acc = None
-        for s in range(cfg.spp):
-            if s == 0:
-                jitter = None
-            else:
-                off = jnp.array([(0.5 + a1 * s) % 1.0, (0.5 + a2 * s) % 1.0],
-                                jnp.float32)
-                jitter = jnp.broadcast_to(off, (cfg.height, cfg.width, 2))
+        s = jnp.arange(cfg.spp, dtype=jnp.float32)
+        offs = jnp.stack([(0.5 + a1 * s) % 1.0, (0.5 + a2 * s) % 1.0], -1)
+        xx = jnp.arange(cfg.width, dtype=jnp.float32)[None, :]
+        yy = jnp.arange(cfg.height, dtype=jnp.float32)[:, None]
+        shift = jnp.stack(
+            [jnp.broadcast_to((a1 * xx + a2 * yy) % 1.0,
+                              (cfg.height, cfg.width)),
+             jnp.broadcast_to((a2 * xx + a1 * yy) % 1.0,
+                              (cfg.height, cfg.width))], -1)
+
+        def body(acc, off):
+            jitter = (off + shift) % 1.0
             img = _render_one(scene, geom, cast_fn, camera, cfg, jitter)
-            acc = img if acc is None else acc + img
+            return acc + img, None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((cfg.height, cfg.width, 4), jnp.float32), offs
+        )
         return acc / cfg.spp
     return _render_one(scene, geom, cast_fn, camera, cfg, None)
 
@@ -299,7 +366,15 @@ def _render_one(scene, geom, cast_fn, camera, cfg, jitter):
 
     ro_b = _to_blocks(ray_o, hp, wp)
     rd_b = _to_blocks(ray_d, hp, wp)
-    img_b = render_rays(scene, geom, cast_fn, cfg, ro_b, rd_b)
+    # Angular size of one pixel at the image center (camera.cu:33-42 maps one
+    # pixel step to 1/unit_to_pixels on the near plane at depth global_near).
+    pixel_angle = None
+    if cfg.edge_aware_grads:
+        pixel_angle = jax.lax.stop_gradient(
+            1.0 / (camera.unit_to_pixels * camera.global_near)
+        )
+    img_b = render_rays(scene, geom, cast_fn, cfg, ro_b, rd_b,
+                        pixel_angle=pixel_angle)
     img = _from_blocks(img_b, hp, wp)
     return img[: cfg.height, : cfg.width]
 

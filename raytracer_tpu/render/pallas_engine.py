@@ -50,14 +50,22 @@ _IF_BMIN = 0   # 0:3 world AABB min
 _IF_BMAX = 3   # 3:6 world AABB max
 _IF_POS = 6    # 6:9 frame position
 _IF_QUAT = 9   # 9:13 frame quaternion [x,y,z,w] (global->local, entity.cu:5-9)
-_IF_WIDTH = 16
+_IF_LMIN = 13  # 13:16 mesh-local AABB min (box fast path)
+_IF_LMAX = 16  # 16:19 mesh-local AABB max
+_IF_FNRM = 19  # 19:37 six world-space face normals, 3 floats per face
+#                faces ordered f = axis*2 + side (x-,x+,y-,y+,z-,z+)
+_IF_WIDTH = 40
 
 # inst_i32 row layout
 _II_TMPL_START = 0  # first row in the template table
 _II_TRI_COUNT = 1   # triangle count
 _II_WTRI_START = 2  # global world-triangle index of this instance's first tri
 _II_VALID = 3
-_II_WIDTH = 8
+_II_IS_BOX = 4      # 1 when the mesh is a detected axis-aligned box (the slab
+#                     entry/exit IS the closest triangle hit; no tri loop)
+_II_MAT = 5         # material id (box meshes are single-material by detection)
+_II_FACE_WTRI = 8   # 8:14 representative world-tri id per face
+_II_WIDTH = 16
 
 # template row layout (per mesh-local triangle)
 _TF_A = 0      # 0:3 vertex a
@@ -65,7 +73,11 @@ _TF_B = 3      # 3:6 vertex b
 _TF_C = 6      # 6:9 vertex c
 _TF_PNU = 9    # 9:12 unit plane normal (normalize(cross(b-a, c-a)))
 _TF_AREA = 12  # |cross(b-a, c-a)| (twice the area)
-_TF_WIDTH = 16
+_TF_MAT = 13   # material id as f32 (exact for ids < 2^24)
+_TF_NA = 16    # 16:19 vertex normal a (mesh-local)
+_TF_NB = 19    # 19:22 vertex normal b
+_TF_NC = 22    # 22:25 vertex normal c
+_TF_WIDTH = 32
 
 
 def _pytree_dataclass(cls):
@@ -82,6 +94,116 @@ class PallasSceneTables:
     inst_f32: Any  # [Np, 16]
     inst_i32: Any  # [Np, 8]
     tmpl: Any  # [Mt, 16]
+
+
+def _detect_box_meshes(scene: Scene):
+    """Per-mesh axis-aligned-box detection (trace-safe jnp; values may be
+    traced, so the result is runtime data consumed by the kernel via
+    ``pl.when``).  A mesh is a "box" when its closest-hit is exactly the
+    local-AABB slab entry/exit — i.e. 12 triangles, every vertex on an AABB
+    corner, each AABB face carrying exactly 2 coplanar triangles, one
+    material, and faceted per-face vertex normals.  ``build_cube`` meshes
+    (scene_builder.cu:181-239) satisfy all of it; hand-built trimeshes fall
+    back to the template triangle loop.
+
+    Returns ``(is_box [M] bool, mat [M] i32, face_tri [M, 6] i32,
+    face_of [T] i32)`` where ``face_tri[m, f]`` is the mesh-local
+    triangle-table row of face f's first triangle (f = axis*2 + side) and
+    ``face_of[t]`` is the face id each triangle lies on (meaningful only for
+    box meshes; tests use it to compare hits at face granularity).
+    """
+    T = scene.tri_v.shape[0]
+    M = scene.mesh_pos.shape[0]
+    tol = 1e-5
+
+    va = scene.verts[scene.tri_v[:, 0]]
+    vb = scene.verts[scene.tri_v[:, 1]]
+    vc = scene.verts[scene.tri_v[:, 2]]
+    tri_rows = jnp.arange(T, dtype=jnp.int32)
+    # mesh id per triangle row
+    starts = scene.mesh_tri_start
+    ends = starts + scene.mesh_tri_count
+    in_mesh = (tri_rows[None, :] >= starts[:, None]) & (
+        tri_rows[None, :] < ends[:, None]
+    )  # [M, T]
+    mesh_of = jnp.argmax(in_mesh, axis=0).astype(jnp.int32)  # [T]
+
+    bmin = scene.mesh_aabb_min[mesh_of]  # [T,3]
+    bmax = scene.mesh_aabb_max[mesh_of]
+    scale = jnp.maximum(jnp.max(bmax - bmin, axis=-1, keepdims=True), 1e-8)
+
+    def on_corner(v):
+        lo = jnp.abs(v - bmin) <= tol * scale
+        hi = jnp.abs(v - bmax) <= tol * scale
+        return jnp.all(lo | hi, axis=-1)
+
+    corners_ok = on_corner(va) & on_corner(vb) & on_corner(vc)  # [T]
+
+    # face of each tri: the axis+side all 3 verts share (if any)
+    def plane_flags(plane):  # [T,3] per-axis "all three verts on this plane"
+        return (
+            (jnp.abs(va - plane) <= tol * scale)
+            & (jnp.abs(vb - plane) <= tol * scale)
+            & (jnp.abs(vc - plane) <= tol * scale)
+        )
+
+    lo_f = plane_flags(bmin)  # [T,3]
+    hi_f = plane_flags(bmax)
+    flags = jnp.stack(
+        [lo_f[:, 0], hi_f[:, 0], lo_f[:, 1], hi_f[:, 1], lo_f[:, 2],
+         hi_f[:, 2]], -1,
+    )  # [T, 6]
+    one_face = jnp.sum(flags, axis=-1) == 1
+    face_of = jnp.argmax(flags, axis=-1).astype(jnp.int32)  # [T]
+
+    # faceted normals: all three vertex normals equal
+    na = scene.norms[scene.tri_v[:, 0]]
+    nb = scene.norms[scene.tri_v[:, 1]]
+    nc = scene.norms[scene.tri_v[:, 2]]
+    faceted = (
+        jnp.all(jnp.abs(na - nb) <= 1e-5, axis=-1)
+        & jnp.all(jnp.abs(na - nc) <= 1e-5, axis=-1)
+    )
+
+    tri_ok = corners_ok & one_face & faceted  # [T]
+
+    # per (mesh, face) triangle counts and first row
+    mf = mesh_of * 6 + face_of  # [T]
+    counts = jnp.zeros((M * 6,), jnp.int32).at[mf].add(
+        jnp.where(tri_ok, 1, 0)
+    )
+    first = jnp.full((M * 6,), T, jnp.int32).at[mf].min(
+        jnp.where(tri_ok, tri_rows, T)
+    )
+    counts = counts.reshape(M, 6)
+    face_tri = jnp.clip(first.reshape(M, 6), 0, max(T - 1, 0))
+
+    # both triangles of a face must agree on the (faceted) normal: the sum of
+    # two equal unit normals has length 2, opposed windings give ~0.
+    nsum = jnp.zeros((M * 6, 3), jnp.float32).at[mf].add(
+        jnp.where(tri_ok[:, None], na, 0.0)
+    )
+    normals_agree = jnp.all(
+        jnp.abs(jnp.sum(nsum * nsum, -1).reshape(M, 6) - 4.0) < 1e-3, axis=-1
+    )
+
+    # one material per mesh
+    ref_mat = scene.tri_mat[jnp.clip(starts, 0, max(T - 1, 0))]
+    same_mat = jnp.zeros((M,), jnp.int32).at[mesh_of].add(
+        jnp.where(scene.tri_mat == ref_mat[mesh_of], 0, 1)
+    ) == 0
+
+    all_ok = jnp.zeros((M,), jnp.int32).at[mesh_of].add(
+        jnp.where(tri_ok, 0, 1)
+    ) == 0
+    is_box = (
+        (scene.mesh_tri_count == 12)
+        & all_ok
+        & jnp.all(counts == 2, axis=-1)
+        & normals_agree
+        & same_mat
+    )
+    return is_box, ref_mat.astype(jnp.int32), face_tri, face_of
 
 
 def build_tables(scene: Scene, geom: WorldGeometry) -> PallasSceneTables:
@@ -110,6 +232,12 @@ def build_tables(scene: Scene, geom: WorldGeometry) -> PallasSceneTables:
     inst_f32 = inst_f32.at[:, _IF_BMAX:_IF_BMAX + 3].set(geom.aabb_max)
     inst_f32 = inst_f32.at[:, _IF_POS:_IF_POS + 3].set(p)
     inst_f32 = inst_f32.at[:, _IF_QUAT:_IF_QUAT + 4].set(q)
+    inst_f32 = inst_f32.at[:, _IF_LMIN:_IF_LMIN + 3].set(
+        scene.mesh_aabb_min[mesh]
+    )
+    inst_f32 = inst_f32.at[:, _IF_LMAX:_IF_LMAX + 3].set(
+        scene.mesh_aabb_max[mesh]
+    )
 
     counts = scene.mesh_tri_count[mesh]
     tmpl_start = scene.mesh_tri_start[mesh]
@@ -121,6 +249,33 @@ def build_tables(scene: Scene, geom: WorldGeometry) -> PallasSceneTables:
     inst_i32 = inst_i32.at[:, _II_TRI_COUNT].set(counts)
     inst_i32 = inst_i32.at[:, _II_WTRI_START].set(wtri_start)
     inst_i32 = inst_i32.at[:, _II_VALID].set(1)
+
+    # Box fast path metadata: detection + per-face representative world tri +
+    # its faceted world normal (taken from geom so orientation matches the
+    # reference winding bit-for-bit).  The fast path additionally requires an
+    # identity composed rotation (cube-world instances are pure translations,
+    # cube_world.cc:163) so the world-AABB slab IS the local box test;
+    # rotated instances fall back to the template scan.
+    is_box_m, mat_m, face_tri_m, _ = _detect_box_meshes(scene)
+    ident_rot = (
+        (jnp.abs(q[:, 0]) < 1e-6)
+        & (jnp.abs(q[:, 1]) < 1e-6)
+        & (jnp.abs(q[:, 2]) < 1e-6)
+    )
+    inst_i32 = inst_i32.at[:, _II_IS_BOX].set(
+        (is_box_m[mesh] & ident_rot).astype(jnp.int32)
+    )
+    inst_i32 = inst_i32.at[:, _II_MAT].set(mat_m[mesh])
+    # face triangle row (mesh-local) -> world tri id for this instance
+    face_wtri = wtri_start[:, None] + (
+        face_tri_m[mesh] - tmpl_start[:, None]
+    )  # [n, 6]
+    face_wtri = jnp.clip(face_wtri, 0, max(geom.a.shape[0] - 1, 0))
+    inst_i32 = inst_i32.at[:, _II_FACE_WTRI:_II_FACE_WTRI + 6].set(face_wtri)
+    fnrm = geom.na[face_wtri]  # [n, 6, 3] world faceted face normals
+    inst_f32 = inst_f32.at[:, _IF_FNRM:_IF_FNRM + 18].set(
+        fnrm.reshape(n, 18)
+    )
 
     # Template triangles in mesh-local space.
     va = scene.verts[scene.tri_v[:, 0]]
@@ -136,6 +291,10 @@ def build_tables(scene: Scene, geom: WorldGeometry) -> PallasSceneTables:
     tmpl = tmpl.at[:, _TF_C:_TF_C + 3].set(vc)
     tmpl = tmpl.at[:, _TF_PNU:_TF_PNU + 3].set(pnu)
     tmpl = tmpl.at[:, _TF_AREA].set(area)
+    tmpl = tmpl.at[:, _TF_MAT].set(scene.tri_mat.astype(jnp.float32))
+    tmpl = tmpl.at[:, _TF_NA:_TF_NA + 3].set(scene.norms[scene.tri_v[:, 0]])
+    tmpl = tmpl.at[:, _TF_NB:_TF_NB + 3].set(scene.norms[scene.tri_v[:, 1]])
+    tmpl = tmpl.at[:, _TF_NC:_TF_NC + 3].set(scene.norms[scene.tri_v[:, 2]])
     return PallasSceneTables(inst_f32=inst_f32, inst_i32=inst_i32, tmpl=tmpl)
 
 
@@ -216,10 +375,89 @@ def tile_candidates(comps, tile_rows, inst_f32, max_cand):
     return cand, info
 
 
+def _slab_terms(inst_f_ref, i, ox, oy, oz, ix, iy, iz, par_x, par_y, par_z,
+                base: int):
+    """Per-axis Kay/Kajiya slab times against the row-``i`` AABB stored at
+    columns [base, base+6) (bounding_box.cu:63-104); parallel axes are
+    unconstrained (the reference skips plane-parallel triangles)."""
+    bx0 = inst_f_ref[i, base + 0]
+    by0 = inst_f_ref[i, base + 1]
+    bz0 = inst_f_ref[i, base + 2]
+    bx1 = inst_f_ref[i, base + 3]
+    by1 = inst_f_ref[i, base + 4]
+    bz1 = inst_f_ref[i, base + 5]
+    t1x = (bx0 - ox) * ix
+    t2x = (bx1 - ox) * ix
+    tnx = jnp.where(par_x, F32_NEG_BIG, jnp.minimum(t1x, t2x))
+    tfx = jnp.where(par_x, F32_BIG, jnp.maximum(t1x, t2x))
+    t1y = (by0 - oy) * iy
+    t2y = (by1 - oy) * iy
+    tny = jnp.where(par_y, F32_NEG_BIG, jnp.minimum(t1y, t2y))
+    tfy = jnp.where(par_y, F32_BIG, jnp.maximum(t1y, t2y))
+    t1z = (bz0 - oz) * iz
+    t2z = (bz1 - oz) * iz
+    tnz = jnp.where(par_z, F32_NEG_BIG, jnp.minimum(t1z, t2z))
+    tfz = jnp.where(par_z, F32_BIG, jnp.maximum(t1z, t2z))
+    # parallel-axis containment: a ray parallel to an axis whose origin lies
+    # outside that slab can never hit a face of the box (the reference's
+    # per-triangle bary test rejects it; the slab alone would not).
+    inside = (
+        (~par_x | ((ox >= bx0) & (ox <= bx1)))
+        & (~par_y | ((oy >= by0) & (oy <= by1)))
+        & (~par_z | ((oz >= bz0) & (oz <= bz1)))
+    )
+    return (tnx, tny, tnz), (tfx, tfy, tfz), inside
+
+
+def _box_face_hit(tns, tfs, inside, dx, dy, dz, inst_f_ref, inst_i_ref, i):
+    """Closest-hit of a ray against an axis-aligned box from its slab times.
+
+    For a closed box, the slab entry time IS the closest triangle hit (the
+    entry face), and when the origin is inside (entry < THRESHOLD) the exit
+    face is hit from within — exactly what the reference's 12-triangle scan
+    computes (trimesh.cu:47-68), at ~1/15 the arithmetic.  Returns
+    ``(ok, t, wtri, nx, ny, nz, mat)`` tiles."""
+    tnx, tny, tnz = tns
+    tfx, tfy, tfz = tfs
+    t_entry = jnp.maximum(jnp.maximum(tnx, tny), tnz)
+    t_exit = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
+    hit_box = (t_entry <= t_exit) & inside
+    is_entry = t_entry >= rm.THRESHOLD
+    t_hit = jnp.where(is_entry, t_entry, t_exit)
+    ok = hit_box & (t_hit >= rm.THRESHOLD)
+
+    tx = jnp.where(is_entry, tnx, tfx)
+    ty = jnp.where(is_entry, tny, tfy)
+    target = jnp.where(is_entry, t_entry, t_exit)
+    ax_x = tx == target
+    ax_y = ~ax_x & (ty == target)
+    ax_z = ~ax_x & ~ax_y
+    dsel = jnp.where(ax_x, dx, jnp.where(ax_y, dy, dz))
+    # entry through the low face iff the ray moves up-axis; exit mirrors it
+    # (xor form: Mosaic cannot select between i1 vectors)
+    side_hi = (dsel >= 0.0) ^ is_entry
+    axis = jnp.where(ax_x, 0, jnp.where(ax_y, 1, 2))
+    face = axis * 2 + side_hi.astype(jnp.int32)
+
+    wtri = jnp.zeros_like(face)
+    nx = jnp.zeros_like(dx)
+    ny = jnp.zeros_like(dx)
+    nz = jnp.zeros_like(dx)
+    for f in range(6):
+        sel = face == f
+        wtri = jnp.where(sel, inst_i_ref[i, _II_FACE_WTRI + f], wtri)
+        nx = jnp.where(sel, inst_f_ref[i, _IF_FNRM + 3 * f + 0], nx)
+        ny = jnp.where(sel, inst_f_ref[i, _IF_FNRM + 3 * f + 1], ny)
+        nz = jnp.where(sel, inst_f_ref[i, _IF_FNRM + 3 * f + 2], nz)
+    return ok, t_hit, wtri, nx, ny, nz
+
+
 def _cast_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                 t_out, tri_out, u_out, v_out,
-                 bt_ref, btri_ref, bu_ref, bv_ref,
+                 t_out, tri_out, u_out, v_out, nx_out, ny_out, nz_out,
+                 mat_out,
+                 bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
+                 bmat_ref,
                  *, n_inst: int, max_tris: int):
     tile_id = pl.program_id(0)
     loop_n = info_ref[tile_id, 0]
@@ -229,9 +467,9 @@ def _cast_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
     # Safe reciprocal directions with the reference's skip-parallel semantics.
-    par_x = dx == 0.0
-    par_y = dy == 0.0
-    par_z = dz == 0.0
+    par_x = jnp.abs(dx) < rm.THRESHOLD
+    par_y = jnp.abs(dy) < rm.THRESHOLD
+    par_z = jnp.abs(dz) < rm.THRESHOLD
     ix = 1.0 / jnp.where(par_x, 1.0, dx)
     iy = 1.0 / jnp.where(par_y, 1.0, dy)
     iz = 1.0 / jnp.where(par_z, 1.0, dz)
@@ -240,39 +478,47 @@ def _cast_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
     btri_ref[:] = jnp.zeros_like(ox, dtype=jnp.int32)
     bu_ref[:] = jnp.zeros_like(ox)
     bv_ref[:] = jnp.zeros_like(ox)
+    bnx_ref[:] = jnp.zeros_like(ox)
+    bny_ref[:] = jnp.zeros_like(ox)
+    bnz_ref[:] = jnp.ones_like(ox)
+    bmat_ref[:] = jnp.zeros_like(ox, dtype=jnp.int32)
 
     def inst_body(k, _):
         i = jnp.where(overflow > 0, k, cand_ref[tile_id, jnp.minimum(k, cand_ref.shape[1] - 1)])
         valid = inst_i_ref[i, _II_VALID] > 0
+        is_box = inst_i_ref[i, _II_IS_BOX] > 0
 
-        bx0 = inst_f_ref[i, _IF_BMIN + 0]
-        by0 = inst_f_ref[i, _IF_BMIN + 1]
-        bz0 = inst_f_ref[i, _IF_BMIN + 2]
-        bx1 = inst_f_ref[i, _IF_BMAX + 0]
-        by1 = inst_f_ref[i, _IF_BMAX + 1]
-        bz1 = inst_f_ref[i, _IF_BMAX + 2]
-
-        # Kay/Kajiya slab test (bounding_box.cu:63-104), parallel axes skipped.
-        t1x = (bx0 - ox) * ix
-        t2x = (bx1 - ox) * ix
-        tnx = jnp.where(par_x, F32_NEG_BIG, jnp.minimum(t1x, t2x))
-        tfx = jnp.where(par_x, F32_BIG, jnp.maximum(t1x, t2x))
-        t1y = (by0 - oy) * iy
-        t2y = (by1 - oy) * iy
-        tny = jnp.where(par_y, F32_NEG_BIG, jnp.minimum(t1y, t2y))
-        tfy = jnp.where(par_y, F32_BIG, jnp.maximum(t1y, t2y))
-        t1z = (bz0 - oz) * iz
-        t2z = (bz1 - oz) * iz
-        tnz = jnp.where(par_z, F32_NEG_BIG, jnp.minimum(t1z, t2z))
-        tfz = jnp.where(par_z, F32_BIG, jnp.maximum(t1z, t2z))
-        tmin = jnp.maximum(jnp.maximum(tnx, tny), tnz)
-        tmax = jnp.minimum(jnp.minimum(tfx, tfy), tfz)
+        tns, tfs, inside = _slab_terms(
+            inst_f_ref, i, ox, oy, oz, ix, iy, iz, par_x, par_y, par_z,
+            _IF_BMIN,
+        )
+        tmin = jnp.maximum(jnp.maximum(tns[0], tns[1]), tns[2])
+        tmax = jnp.minimum(jnp.minimum(tfs[0], tfs[1]), tfs[2])
         # Prune boxes no nearer than the current best (monotone optimization:
         # cannot change results, only skips provably-farther work).
         box_hit = (tmin <= tmax) & (tmax >= rm.THRESHOLD) & (tmin < bt_ref[:])
-        vote = jnp.any(box_hit) & valid
+        any_hit = jnp.any(box_hit) & valid
 
-        @pl.when(vote)
+        # ---- box fast path: identity-rotation box meshes hit exactly where
+        # the (already computed) world slab enters/exits -----------------
+        @pl.when(any_hit & is_box)
+        def _():
+            ok, t_hit, wtri, nx, ny, nz = _box_face_hit(
+                tns, tfs, inside, dx, dy, dz, inst_f_ref, inst_i_ref, i
+            )
+            ok = ok & (t_hit < bt_ref[:])
+            bt_ref[:] = jnp.where(ok, t_hit, bt_ref[:])
+            btri_ref[:] = jnp.where(ok, wtri, btri_ref[:])
+            bu_ref[:] = jnp.where(ok, 1.0 / 3.0, bu_ref[:])
+            bv_ref[:] = jnp.where(ok, 1.0 / 3.0, bv_ref[:])
+            bnx_ref[:] = jnp.where(ok, nx, bnx_ref[:])
+            bny_ref[:] = jnp.where(ok, ny, bny_ref[:])
+            bnz_ref[:] = jnp.where(ok, nz, bnz_ref[:])
+            bmat_ref[:] = jnp.where(ok, inst_i_ref[i, _II_MAT], bmat_ref[:])
+
+        # ---- general template path: per-triangle scan in the instance-local
+        # frame (cast_local, scene.cu:28-40) ------------------------------
+        @pl.when(any_hit & ~is_box)
         def _():
             px = inst_f_ref[i, _IF_POS + 0]
             py = inst_f_ref[i, _IF_POS + 1]
@@ -335,14 +581,38 @@ def _cast_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
                                    ax - hx, ay - hy, az - hz) * inv_area
                     b2 = edge_area(ax - hx, ay - hy, az - hz,
                                    bx - hx, by - hy, bz - hz) * inv_area
-                    inside = jnp.abs(b0 + b1 + b2 - 1.0) <= rm.THRESHOLD
+                    inside_t = jnp.abs(b0 + b1 + b2 - 1.0) <= rm.THRESHOLD
 
-                    ok = (plane_ok & inside & (area > 0.0)
+                    ok = (plane_ok & inside_t & (area > 0.0)
                           & (tt >= rm.THRESHOLD) & (tt < bt_ref[:]))
+
+                    # interpolated mesh-local shading normal, rotated back to
+                    # world by the inverse (conjugate) instance quat
+                    # (trimesh.cu:59-63 + hitable.cu fix_isect)
+                    snx = (b0 * tmpl_ref[row, _TF_NA + 0]
+                           + b1 * tmpl_ref[row, _TF_NB + 0]
+                           + b2 * tmpl_ref[row, _TF_NC + 0])
+                    sny = (b0 * tmpl_ref[row, _TF_NA + 1]
+                           + b1 * tmpl_ref[row, _TF_NB + 1]
+                           + b2 * tmpl_ref[row, _TF_NC + 1])
+                    snz = (b0 * tmpl_ref[row, _TF_NA + 2]
+                           + b1 * tmpl_ref[row, _TF_NB + 2]
+                           + b2 * tmpl_ref[row, _TF_NC + 2])
+                    wnx, wny, wnz = _quat_rotate_tile(
+                        -qx, -qy, -qz, qw, snx, sny, snz
+                    )
+
                     bt_ref[:] = jnp.where(ok, tt, bt_ref[:])
                     btri_ref[:] = jnp.where(ok, wtri_start + j, btri_ref[:])
                     bu_ref[:] = jnp.where(ok, b1, bu_ref[:])
                     bv_ref[:] = jnp.where(ok, b2, bv_ref[:])
+                    bnx_ref[:] = jnp.where(ok, wnx, bnx_ref[:])
+                    bny_ref[:] = jnp.where(ok, wny, bny_ref[:])
+                    bnz_ref[:] = jnp.where(ok, wnz, bnz_ref[:])
+                    bmat_ref[:] = jnp.where(
+                        ok, tmpl_ref[row, _TF_MAT].astype(jnp.int32),
+                        bmat_ref[:],
+                    )
 
                 return _
 
@@ -356,62 +626,196 @@ def _cast_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
     tri_out[:] = btri_ref[:]
     u_out[:] = bu_ref[:]
     v_out[:] = bv_ref[:]
+    # re-normalize the interpolated normal once per tile (reference
+    # normalizes per hit, hitable.cu fix_isect)
+    nlen = jnp.sqrt(bnx_ref[:] ** 2 + bny_ref[:] ** 2 + bnz_ref[:] ** 2)
+    inv = 1.0 / jnp.maximum(nlen, rm.THRESHOLD)
+    nx_out[:] = bnx_ref[:] * inv
+    ny_out[:] = bny_ref[:] * inv
+    nz_out[:] = bnz_ref[:] * inv
+    mat_out[:] = bmat_ref[:]
+
+
+def _occlude_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
+                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, mt_ref,
+                    blk_out, *, n_inst: int, max_tris: int):
+    """Any-hit occlusion query: blocked iff some hit has THRESHOLD <= t <=
+    max_t.  Equivalent to the closest-hit test ``valid & t <= max_t`` (the
+    closest hit is minimal), but the candidate loop exits as soon as every
+    lane in the tile is blocked — the shadow-ray analog of the reference's
+    early-out-free scan, minus all best-hit bookkeeping."""
+    tile_id = pl.program_id(0)
+    loop_n = info_ref[tile_id, 0]
+    overflow = info_ref[tile_id, 1]
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    max_t = mt_ref[:]
+
+    par_x = jnp.abs(dx) < rm.THRESHOLD
+    par_y = jnp.abs(dy) < rm.THRESHOLD
+    par_z = jnp.abs(dz) < rm.THRESHOLD
+    ix = 1.0 / jnp.where(par_x, 1.0, dx)
+    iy = 1.0 / jnp.where(par_y, 1.0, dy)
+    iz = 1.0 / jnp.where(par_z, 1.0, dz)
+
+    def body(carry):
+        k, blk = carry
+        i = jnp.where(overflow > 0, k,
+                      cand_ref[tile_id, jnp.minimum(k, cand_ref.shape[1] - 1)])
+        valid = inst_i_ref[i, _II_VALID] > 0
+        is_box = inst_i_ref[i, _II_IS_BOX] > 0
+
+        tns, tfs, inside = _slab_terms(
+            inst_f_ref, i, ox, oy, oz, ix, iy, iz, par_x, par_y, par_z,
+            _IF_BMIN,
+        )
+        tmin = jnp.maximum(jnp.maximum(tns[0], tns[1]), tns[2])
+        tmax = jnp.minimum(jnp.minimum(tfs[0], tfs[1]), tfs[2])
+        box_hit = ((tmin <= tmax) & (tmax >= rm.THRESHOLD) & ~blk
+                   & (tmin <= max_t))
+        any_hit = jnp.any(box_hit) & valid
+
+        # box: blocked iff the slab hit time lands within [THRESHOLD, max_t]
+        hit_box = (tmin <= tmax) & inside
+        t_hit = jnp.where(tmin >= rm.THRESHOLD, tmin, tmax)
+        box_blocked = (hit_box & (t_hit >= rm.THRESHOLD) & (t_hit <= max_t)
+                       & valid & is_box)
+        blk = blk | box_blocked
+
+        # template fallback for non-box meshes
+        def template(blk):
+            px = inst_f_ref[i, _IF_POS + 0]
+            py = inst_f_ref[i, _IF_POS + 1]
+            pz = inst_f_ref[i, _IF_POS + 2]
+            qx = inst_f_ref[i, _IF_QUAT + 0]
+            qy = inst_f_ref[i, _IF_QUAT + 1]
+            qz = inst_f_ref[i, _IF_QUAT + 2]
+            qw = inst_f_ref[i, _IF_QUAT + 3]
+            lox, loy, loz = _quat_rotate_tile(qx, qy, qz, qw,
+                                              ox - px, oy - py, oz - pz)
+            ldx, ldy, ldz = _quat_rotate_tile(qx, qy, qz, qw, dx, dy, dz)
+            tmpl_start = inst_i_ref[i, _II_TMPL_START]
+            tri_count = inst_i_ref[i, _II_TRI_COUNT]
+
+            def tri_body(j, blk):
+                row = tmpl_start + j
+                ax = tmpl_ref[row, _TF_A + 0]
+                ay = tmpl_ref[row, _TF_A + 1]
+                az = tmpl_ref[row, _TF_A + 2]
+                bx = tmpl_ref[row, _TF_B + 0]
+                by = tmpl_ref[row, _TF_B + 1]
+                bz = tmpl_ref[row, _TF_B + 2]
+                cx = tmpl_ref[row, _TF_C + 0]
+                cy = tmpl_ref[row, _TF_C + 1]
+                cz = tmpl_ref[row, _TF_C + 2]
+                nx = tmpl_ref[row, _TF_PNU + 0]
+                ny = tmpl_ref[row, _TF_PNU + 1]
+                nz = tmpl_ref[row, _TF_PNU + 2]
+                area = tmpl_ref[row, _TF_AREA]
+                denom = ldx * nx + ldy * ny + ldz * nz
+                plane_ok = jnp.abs(denom) >= rm.THRESHOLD
+                tt = ((ax - lox) * nx + (ay - loy) * ny
+                      + (az - loz) * nz) / jnp.where(plane_ok, denom, 1.0)
+                hx = lox + tt * ldx
+                hy = loy + tt * ldy
+                hz = loz + tt * ldz
+                inv_area = 1.0 / jnp.where(area > 0.0, area, 1.0)
+
+                def edge_area(p0x, p0y, p0z, p1x, p1y, p1z):
+                    ex = p0y * p1z - p0z * p1y
+                    ey = p0z * p1x - p0x * p1z
+                    ez = p0x * p1y - p0y * p1x
+                    return jnp.sqrt(ex * ex + ey * ey + ez * ez)
+
+                b0 = edge_area(cx - hx, cy - hy, cz - hz,
+                               bx - hx, by - hy, bz - hz) * inv_area
+                b1 = edge_area(cx - hx, cy - hy, cz - hz,
+                               ax - hx, ay - hy, az - hz) * inv_area
+                b2 = edge_area(ax - hx, ay - hy, az - hz,
+                               bx - hx, by - hy, bz - hz) * inv_area
+                inside_t = jnp.abs(b0 + b1 + b2 - 1.0) <= rm.THRESHOLD
+                ok = (plane_ok & inside_t & (area > 0.0)
+                      & (tt >= rm.THRESHOLD) & (tt <= max_t)
+                      & (j < tri_count))
+                return blk | ok
+
+            return jax.lax.fori_loop(0, max_tris, tri_body, blk)
+
+        blk = jax.lax.cond(any_hit & ~is_box, template, lambda b: b, blk)
+        return k + 1, blk
+
+    def cond(carry):
+        k, blk = carry
+        return (k < loop_n) & ~jnp.all(blk)
+
+    blk0 = jnp.zeros_like(ox, dtype=jnp.bool_)
+    _, blk = jax.lax.while_loop(cond, body, (jnp.int32(0), blk0))
+    blk_out[:] = blk.astype(jnp.int32)
+
+
+def _pad_rays(ro, rd, tile):
+    ro_f = ro.reshape(-1, 3)
+    rd_f = rd.reshape(-1, 3)
+    r = ro_f.shape[0]
+    rp = (r + tile - 1) // tile * tile
+    pad = rp - r
+    ro_f = jnp.pad(ro_f, ((0, pad), (0, 0)))
+    rd_f = jnp.pad(rd_f, ((0, pad), (0, 0)), constant_values=0.0)
+    pad_mask = jnp.arange(rp) >= r
+    rd_f = jnp.where(pad_mask[:, None], jnp.array([0.0, 0.0, 1.0]), rd_f)
+    rows = rp // LANES
+    comps = [ro_f[:, 0], ro_f[:, 1], ro_f[:, 2],
+             rd_f[:, 0], rd_f[:, 1], rd_f[:, 2]]
+    return [c.reshape(rows, LANES) for c in comps], r, rp, rows
 
 
 def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
                      tile_rows: int = 8, max_cand: int = 64) -> CastFn:
     """Build the Pallas cast; tables are computed from (scene, geom) at trace
     time and live in VMEM for the whole kernel.  Per-tile candidate lists from
-    the XLA interval cull arrive via scalar prefetch."""
+    the XLA interval cull arrive via scalar prefetch.
+
+    The returned cast carries an ``occlude(ro, rd, max_t) -> bool`` attribute
+    (the any-hit kernel) that the shadow march uses on opaque scenes."""
     tables = build_tables(scene, geom)
     n_inst = tables.inst_i32.shape[0]
     max_tris = int(cfg.max_tris_per_mesh)
+    tile = tile_rows * LANES
 
     kernel = functools.partial(_cast_kernel, n_inst=n_inst, max_tris=max_tris)
+    occ_kernel = functools.partial(_occlude_kernel, n_inst=n_inst,
+                                   max_tris=max_tris)
+
+    ray_spec = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
 
     def cast(ro, rd):
         batch_shape = ro.shape[:-1]
-        ro_f = ro.reshape(-1, 3)
-        rd_f = rd.reshape(-1, 3)
-        r = ro_f.shape[0]
-        tile = tile_rows * LANES
-        rp = (r + tile - 1) // tile * tile
-        pad = rp - r
-        ro_f = jnp.pad(ro_f, ((0, pad), (0, 0)))
-        rd_f = jnp.pad(rd_f, ((0, pad), (0, 0)),
-                       constant_values=0.0)
-        pad_mask = jnp.arange(rp) >= r
-        rd_f = jnp.where(pad_mask[:, None], jnp.array([0.0, 0.0, 1.0]), rd_f)
+        comps, r, rp, rows = _pad_rays(ro, rd, tile)
+        cand, info = tile_candidates(comps, tile_rows, tables.inst_f32,
+                                     max_cand)
 
-        rows = rp // LANES
-        comps = [ro_f[:, 0], ro_f[:, 1], ro_f[:, 2],
-                 rd_f[:, 0], rd_f[:, 1], rd_f[:, 2]]
-        comps = [c.reshape(rows, LANES) for c in comps]
-
-        cand, info = tile_candidates(comps, tile_rows, tables.inst_f32, max_cand)
-
-        grid = (rows // tile_rows,)
-        ray_spec = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0),
-                                memory_space=pltpu.VMEM)
-        table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-        out_specs = [
-            pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(4)
-        ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=grid,
+            grid=(rows // tile_rows,),
             in_specs=[table_spec, table_spec, table_spec] + [ray_spec] * 6,
-            out_specs=out_specs,
+            out_specs=[out_spec] * 8,
             scratch_shapes=[
                 pltpu.VMEM((tile_rows, LANES), jnp.float32),
                 pltpu.VMEM((tile_rows, LANES), jnp.int32),
                 pltpu.VMEM((tile_rows, LANES), jnp.float32),
                 pltpu.VMEM((tile_rows, LANES), jnp.float32),
+                pltpu.VMEM((tile_rows, LANES), jnp.float32),
+                pltpu.VMEM((tile_rows, LANES), jnp.float32),
+                pltpu.VMEM((tile_rows, LANES), jnp.float32),
+                pltpu.VMEM((tile_rows, LANES), jnp.int32),
             ],
         )
-        t, tri, u, v = pl.pallas_call(
+        t, tri, u, v, nx, ny, nz, mat = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
@@ -419,21 +823,50 @@ def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
                 jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
                 jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
                 jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
             ],
             # Mosaic targets TPUs; on CPU hosts (tests, oracle comparisons) the
             # kernel runs in the interpreter with identical semantics.
             interpret=(jax.default_backend() == "cpu"),
         )(cand, info, tables.inst_f32, tables.inst_i32, tables.tmpl, *comps)
 
-        t = t.reshape(rp)[:r]
-        tri = tri.reshape(rp)[:r]
-        u = u.reshape(rp)[:r]
-        v = v.reshape(rp)[:r]
+        def unpack(x):
+            return x.reshape(rp)[:r].reshape(batch_shape)
+
+        t = unpack(t)
         return Hit(
-            valid=jnp.isfinite(t).reshape(batch_shape),
-            t=t.reshape(batch_shape),
-            wtri=tri.reshape(batch_shape),
-            uv=jnp.stack([u, v], axis=-1).reshape(batch_shape + (2,)),
+            valid=jnp.isfinite(t),
+            t=t,
+            wtri=unpack(tri),
+            uv=jnp.stack([unpack(u), unpack(v)], axis=-1),
+            normal=jnp.stack([unpack(nx), unpack(ny), unpack(nz)], axis=-1),
+            mat=unpack(mat),
         )
 
+    def occlude(ro, rd, max_t):
+        batch_shape = ro.shape[:-1]
+        comps, r, rp, rows = _pad_rays(ro, rd, tile)
+        mt = jnp.broadcast_to(max_t, batch_shape).reshape(-1)
+        mt = jnp.pad(mt, (0, rp - r)).reshape(rows, LANES)
+        cand, info = tile_candidates(comps, tile_rows, tables.inst_f32,
+                                     max_cand)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(rows // tile_rows,),
+            in_specs=[table_spec, table_spec, table_spec] + [ray_spec] * 7,
+            out_specs=[out_spec],
+        )
+        (blk,) = pl.pallas_call(
+            occ_kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
+            interpret=(jax.default_backend() == "cpu"),
+        )(cand, info, tables.inst_f32, tables.inst_i32, tables.tmpl,
+          *comps, mt)
+        return (blk.reshape(rp)[:r] > 0).reshape(batch_shape)
+
+    cast.occlude = occlude
     return cast

@@ -54,11 +54,16 @@ def _march_shadow(scene: Scene, geom: WorldGeometry, cast_fn: CastFn,
     if not cfg.any_refractive:
         # Static fast path: no material transmits, so the march degenerates to
         # one occlusion query — a blocker strictly before the light kills it
-        # (light.cu:41-45), anything else leaves it lit.
+        # (light.cu:41-45), anything else leaves it lit.  Casts that provide
+        # an any-hit kernel (Pallas) answer it without best-hit bookkeeping.
         o = origin + rm.THRESHOLD * dir_unit
-        hit = cast_fn(o, dir_unit)
-        t_fin = jnp.where(hit.valid, hit.t, 1.0)
-        blocked = active & hit.valid & (t_fin <= max_t)
+        occ = getattr(cast_fn, "occlude", None)
+        if occ is not None:
+            blocked = active & occ(o, dir_unit, max_t)
+        else:
+            hit = cast_fn(o, dir_unit)
+            t_fin = jnp.where(hit.valid, hit.t, 1.0)
+            blocked = active & hit.valid & (t_fin <= max_t)
         lit = jnp.broadcast_to(light_col, origin.shape[:-1] + (4,))
         return jnp.where(blocked[..., None], 0.0, lit)
 

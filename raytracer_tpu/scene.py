@@ -158,6 +158,9 @@ class RenderConfig:
     pallas_kernel: str = "mxu"  # "mxu" (pluecker matmuls) | "scalar" (v2 loop)
     use_bvh: bool = True  # False == reference's -r brute-force fallback
     ray_chunk: int = 16384  # rays per cast chunk (memory bound)
+    pallas_ray_chunk: int = 1 << 19  # rays per Pallas kernel launch: one
+    #               640x480 frame fits a single launch; 1080p splits into 4 so
+    #               no frame-sized operand hits the compiler (SMEM is 1 MB)
     queue_factor: float = 1.0  # wavefront queue capacity as a multiple of the
     #                            primary ray count (children beyond it are dropped
     #                            and counted; fixtures never spawn both child types)
@@ -185,7 +188,13 @@ class RenderConfig:
     #               additionally carries boundary terms so gradients flow to
     #               vertex positions / camera pose through silhouettes (needs a
     #               differentiable cast, i.e. the jnp engine)
-    edge_eps: float = 0.05  # mollifier width in barycentric units
+    edge_eps: float = 0.05  # mollifier width in barycentric units (fallback
+    #               used when no pixel footprint is available, e.g. raw
+    #               render_rays batches)
+    edge_px: float = 1.5  # mollifier band width in SCREEN pixels when the
+    #               pixel footprint is known (render_frame passes the camera's
+    #               pixel angle); keeps foreshortened silhouette faces'
+    #               bands resolvable by the sample grid
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

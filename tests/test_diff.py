@@ -77,37 +77,67 @@ def test_material_grad_matches_finite_difference(setup, field, idx):
     np.testing.assert_allclose(ad, fd, rtol=5e-2, atol=1e-5)
 
 
+def _closeup_camera(w, scene, width):
+    """A close-up, yawed view of the world1 cube column: the object fills a
+    good fraction of the frame (the stock cube-world camera leaves it ~16 px
+    wide — gradient estimates there are pure sampling noise), and the 35 deg
+    yaw keeps every visible face away from edge-on (a silhouette whose
+    interior face is seen edge-on cannot be sampled by any interior band —
+    documented limitation of one-sided mollification; exact handling needs
+    explicit edge sampling)."""
+    import dataclasses
+
+    from raytracer_tpu import raymath as rm
+    from raytracer_tpu.builder import scale_camera
+    from raytracer_tpu.render.geometry import expand_geometry
+
+    geom = expand_geometry(scene)
+    center = (geom.aabb_min.min(0) + geom.aabb_max.max(0)) / 2
+    radius = float(jnp.max(geom.aabb_max.max(0) - geom.aabb_min.min(0))) / 2
+    qy = rm.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]),
+                                 jnp.float32(35 * np.pi / 180))
+    rot = rm.quat_normalize(rm.quat_mul(qy, jnp.asarray(w.camera.rot)))
+    fwd = rm.normalize(rm.quat_to_mat(rot)[:, 2])
+    cam = dataclasses.replace(
+        jax.tree_util.tree_map(jnp.asarray, w.camera),
+        pos=center - fwd * (3.0 * radius), rot=rot,
+    )
+    cam = scale_camera(cam, width, w.config.width)
+    return jax.tree_util.tree_map(jnp.asarray, cam)
+
+
 def test_edge_aware_vertex_gradient_matches_fd(setup):
     """Silhouette gradients to vertex positions (edge_aware_grads).
 
-    Translating every cube vertex along +x sweeps the silhouette across
-    pixels; the hard renderer's autodiff sees zero, the edge-aware backward
-    should approximate the finite-difference slope of the (pixel-integrated)
-    loss.  FD of a hard-visibility render is a staircase, so we use a step
-    that moves the silhouette ~a pixel and a generous tolerance — this pins
-    sign and scale, not ulps."""
+    Uniformly scaling the cube vertices sweeps every silhouette outward — a
+    strongly one-sided signal (translation nets to ~zero: the left-edge gain
+    cancels the right-edge loss).  The loss is the mean over RGB only:
+    the alpha channel saturates the canvas clamp at exactly 1.0, where the
+    interior-band gradient dies against the clamp while FD still sees the
+    0->1 coverage jump (inherent interior-vs-boundary mismatch at saturation,
+    documented in engine.py).  Measured ratios on this setup are stable at
+    ~0.78-0.80 across spp/h/dark-vs-lit variants (one-sided occlusion bias
+    accounts for the remainder); the window pins sign and scale."""
     import dataclasses
 
-    w, scene, cam, _cfg, _ = setup
-    cfg = _cfg.replace(edge_aware_grads=True, spp=4, recurse_depth=0)
+    w, scene, cam_, _cfg, _ = setup
+    W, H = 96, 72
+    cam = _closeup_camera(w, scene, W)
+    cfg = _cfg.replace(width=W, height=H, edge_aware_grads=True, spp=8,
+                       recurse_depth=0, edge_px=1.5)
 
-    def loss_of(shift):
-        s = dataclasses.replace(
-            scene, verts=scene.verts + jnp.array([shift, 0.0, 0.0]))
-        img = render_frame(s, cam, cfg)
-        return jnp.mean(img)
+    def loss_of(s):
+        s2 = dataclasses.replace(scene, verts=scene.verts * (1.0 + s))
+        img = render_frame(s2, cam, cfg)
+        return jnp.mean(img[..., :3])
 
     ad = float(jax.grad(loss_of)(0.0))
-    # pick h from the scene scale: cube edge ~ bbox extent
-    extent = float(jnp.max(scene.verts) - jnp.min(scene.verts))
-    h = 0.05 * extent
+    h = 0.03
     fd = (float(loss_of(h)) - float(loss_of(-h))) / (2 * h)
     assert np.isfinite(ad) and np.isfinite(fd)
-    assert fd != 0.0, "test scene must have a visible silhouette"
-    # sign must agree; magnitude within 2.5x (mollifier + staircase bias)
-    assert ad * fd > 0.0, (ad, fd)
+    assert fd > 0.0, "scaling up must brighten coverage"
     ratio = ad / fd
-    assert 0.4 < ratio < 2.5, (ad, fd, ratio)
+    assert 0.5 < ratio < 1.6, (ad, fd, ratio)
 
 
 def test_edge_aware_forward_is_unchanged(setup):

@@ -26,7 +26,14 @@ def world8():
     return w, scene, cam, geom
 
 
-def _compare(hit_p, hit_b):
+def _compare(hit_p, hit_b, scene, geom):
+    """Box-fast-path contract: identical hit mask, times, and everything
+    shading consumes (faceted normal, material, instance) — the reported
+    triangle id is a representative of the hit FACE (either of the face's two
+    coplanar triangles shades identically; documented deviation in
+    pallas_engine._box_face_hit)."""
+    from raytracer_tpu.render.cast import hit_shading_attrs
+
     vp = np.asarray(hit_p.valid)
     vb = np.asarray(hit_b.valid)
     assert (vp == vb).all()
@@ -34,10 +41,22 @@ def _compare(hit_p, hit_b):
     np.testing.assert_allclose(
         np.asarray(hit_p.t)[both], np.asarray(hit_b.t)[both], rtol=1e-5, atol=1e-5
     )
-    assert (np.asarray(hit_p.wtri)[both] == np.asarray(hit_b.wtri)[both]).all()
+    # same face + same instance (tri id at face granularity)
+    _, _, _, face_of = pe._detect_box_meshes(scene)
+    face_of = np.asarray(face_of)
+    wtri_tri = np.asarray(scene.wtri_tri)
+    inst = np.asarray(geom.inst)
+    wp = np.asarray(hit_p.wtri)[both]
+    wb = np.asarray(hit_b.wtri)[both]
+    assert (inst[wp] == inst[wb]).all()
+    assert (face_of[wtri_tri[wp]] == face_of[wtri_tri[wb]]).all()
+    # shading attributes are exact
+    n_p, m_p, _ = hit_shading_attrs(geom, hit_p)
+    n_b, m_b, _ = hit_shading_attrs(geom, hit_b)
     np.testing.assert_allclose(
-        np.asarray(hit_p.uv)[both], np.asarray(hit_b.uv)[both], atol=1e-4
+        np.asarray(n_p)[both], np.asarray(n_b)[both], atol=1e-5
     )
+    assert (np.asarray(m_p)[both] == np.asarray(m_b)[both]).all()
 
 
 def test_pallas_cast_matches_oracle_coherent(world8):
@@ -48,7 +67,7 @@ def test_pallas_cast_matches_oracle_coherent(world8):
     hit_p = pe.make_pallas_cast(scene, geom, w.config)(ro, rd)
     hit_b = make_brute_cast(geom)(ro, rd)
     assert int(np.asarray(hit_b.valid).sum()) > 0
-    _compare(hit_p, hit_b)
+    _compare(hit_p, hit_b, scene, geom)
 
 
 def test_pallas_cast_matches_oracle_incoherent(world8):
@@ -60,7 +79,7 @@ def test_pallas_cast_matches_oracle_incoherent(world8):
     hit_p = pe.make_pallas_cast(scene, geom, w.config)(o, d)
     hit_b = make_brute_cast(geom)(o, d)
     assert int(np.asarray(hit_b.valid).sum()) > 0
-    _compare(hit_p, hit_b)
+    _compare(hit_p, hit_b, scene, geom)
 
 
 def test_mxu_cast_matches_oracle_coherent(world8):
@@ -134,3 +153,47 @@ def test_tile_candidates_conservative(world8):
             continue  # overflow: kernel loops everything
         listed = set(cand[ti, : info[ti, 0]])
         assert needed <= listed, f"tile {ti} missing {needed - listed}"
+
+
+def test_occlude_matches_closest_hit(world8):
+    """The any-hit occlusion kernel must agree with ``valid & t <= max_t`` of
+    the closest-hit cast for every max_t (the closest hit is minimal)."""
+    w, scene, cam, geom = world8
+    cast = pe.make_pallas_cast(scene, geom, w.config)
+
+    ro, rd = camera_rays(cam, 64, 64)
+    ro = ro.reshape(-1, 3)
+    rd = rd.reshape(-1, 3)
+    hit = cast(ro, rd)
+    t_fin = jnp.where(hit.valid, hit.t, jnp.inf)
+    for max_t in (0.5, 2.0, jnp.inf):
+        want = np.asarray(hit.valid & (t_fin <= max_t))
+        got = np.asarray(cast.occlude(ro, rd, jnp.float32(max_t)))
+        assert (want == got).all(), f"max_t={max_t}"
+
+    rng = np.random.RandomState(7)
+    o = jnp.asarray(rng.uniform(-5, 5, (512, 3)).astype(np.float32))
+    d = rng.randn(512, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    mt = jnp.asarray(rng.uniform(0.1, 10.0, (512,)).astype(np.float32))
+    hit = cast(o, d)
+    t_fin = jnp.where(hit.valid, hit.t, jnp.inf)
+    want = np.asarray(hit.valid & (t_fin <= mt))
+    got = np.asarray(cast.occlude(o, d, mt))
+    assert (want == got).all()
+
+
+def test_box_detection_world8(world8):
+    """Both cube-world meshes must be detected as boxes (build_cube layout,
+    scene_builder.cu:181-239); a perturbed copy must not."""
+    import dataclasses
+
+    w, scene, cam, geom = world8
+    is_box, mat, face_tri, face_of = pe._detect_box_meshes(scene)
+    assert bool(np.asarray(is_box).all())
+    # perturb one vertex off its corner -> not a box anymore
+    verts = np.asarray(scene.verts).copy()
+    verts[0] += 0.05
+    scene2 = dataclasses.replace(scene, verts=jnp.asarray(verts))
+    is_box2, _, _, _ = pe._detect_box_meshes(scene2)
+    assert not bool(np.asarray(is_box2)[0])
