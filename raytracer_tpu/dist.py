@@ -71,11 +71,15 @@ def make_sharded_render(scene, camera, cfg, mesh: Mesh):
     """Return a jitted render over the mesh: rows of the image are sharded across
     chips, the scene is replicated, and the output image is row-sharded.
 
-    The height need not divide the mesh size: GSPMD shards uneven dimensions
-    by padding the last shard internally, so any (height, mesh) pair works
-    (the padded rows simply waste a little work on the last device)."""
-    from .render.engine import render_frame
+    The height need not divide the mesh size: the RAY GRID is padded with
+    dummy rows up to the next multiple (the camera mapping itself is computed
+    at the true height, so framing is unchanged) and the padded rows are
+    cropped off the result."""
+    from .render.engine import make_cast, render_rays
+    from .render.geometry import camera_rays, expand_geometry
 
+    n_dev = mesh.devices.size
+    hp = pad_to_multiple(cfg.height, n_dev)
     scene_r = shard_scene(scene, mesh)
     camera_r = jax.tree_util.tree_map(
         lambda x: jax.device_put(jnp.asarray(x), replicated(mesh)), camera
@@ -85,6 +89,16 @@ def make_sharded_render(scene, camera, cfg, mesh: Mesh):
 
     @partial(jax.jit, static_argnames=("cfg_",), out_shardings=out_sharding)
     def run(scene_, camera_, cfg_):
-        return render_frame(scene_, camera_, cfg_)
+        geom = expand_geometry(scene_)
+        cast = make_cast(scene_, geom, cfg_)
+        ro, rd = camera_rays(camera_, cfg_.width, cfg_.height)
+        pad = hp - cfg_.height
+        ro = jnp.pad(ro, ((0, pad), (0, 0), (0, 0)))
+        rd = jnp.pad(rd, ((0, pad), (0, 0), (0, 0)), constant_values=0.0)
+        if pad:
+            mask = jnp.arange(hp) >= cfg_.height
+            rd = jnp.where(mask[:, None, None],
+                           jnp.array([0.0, 0.0, 1.0]), rd)
+        return render_rays(scene_, geom, cast, cfg_, ro, rd)
 
-    return lambda: run(scene_r, camera_r, cfg)
+    return lambda: run(scene_r, camera_r, cfg)[: cfg.height]

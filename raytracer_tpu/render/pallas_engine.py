@@ -359,7 +359,13 @@ def tile_candidates(comps, tile_rows, inst_f32, max_cand):
     far = jnp.where(spans0[:, None, :], F32_BIG, far)
     tmin = near.max(-1)  # [T,N]
     tmax = far.min(-1)
-    vote = (tmin <= tmax) & (tmax >= rm.THRESHOLD)
+    # axes along which the WHOLE tile is parallel (e.g. axis-aligned shadow
+    # rays) constrain by origin-interval containment instead — otherwise they
+    # are unconstrained and every instance votes.
+    all_par = (jnp.abs(dlo) < rm.THRESHOLD) & (jnp.abs(dhi) < rm.THRESHOLD)
+    contained = (ohi[:, None] >= bmin[None]) & (olo[:, None] <= bmax[None])
+    par_ok = jnp.all(~all_par[:, None] | contained, axis=-1)  # [T,N]
+    vote = (tmin <= tmax) & (tmax >= rm.THRESHOLD) & par_ok
 
     count = vote.sum(-1).astype(jnp.int32)  # [T]
     n = vote.shape[-1]
@@ -452,74 +458,38 @@ def _box_face_hit(tns, tfs, inside, dx, dy, dz, inst_f_ref, inst_i_ref, i):
     return ok, t_hit, wtri, nx, ny, nz
 
 
-def _cast_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
-                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                 t_out, tri_out, u_out, v_out, nx_out, ny_out, nz_out,
-                 mat_out,
-                 bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
-                 bmat_ref,
-                 *, n_inst: int, max_tris: int):
-    tile_id = pl.program_id(0)
-    loop_n = info_ref[tile_id, 0]
-    overflow = info_ref[tile_id, 1]
+def _intersect_instance(i, any_hit, tns, tfs, inside, rays, refs, best,
+                        max_tris: int):
+    """Closest-hit update of instance ``i`` against the ray tile — the shared
+    body of the candidate-list kernel and the BVH-walk kernel.  ``tns/tfs/
+    inside`` are the instance's (already computed) world slab terms."""
+    ox, oy, oz, dx, dy, dz = rays
+    inst_f_ref, inst_i_ref, tmpl_ref = refs
+    (bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
+     bmat_ref) = best
+    is_box = inst_i_ref[i, _II_IS_BOX] > 0
 
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-
-    # Safe reciprocal directions with the reference's skip-parallel semantics.
-    par_x = jnp.abs(dx) < rm.THRESHOLD
-    par_y = jnp.abs(dy) < rm.THRESHOLD
-    par_z = jnp.abs(dz) < rm.THRESHOLD
-    ix = 1.0 / jnp.where(par_x, 1.0, dx)
-    iy = 1.0 / jnp.where(par_y, 1.0, dy)
-    iz = 1.0 / jnp.where(par_z, 1.0, dz)
-
-    bt_ref[:] = jnp.full_like(ox, jnp.inf)
-    btri_ref[:] = jnp.zeros_like(ox, dtype=jnp.int32)
-    bu_ref[:] = jnp.zeros_like(ox)
-    bv_ref[:] = jnp.zeros_like(ox)
-    bnx_ref[:] = jnp.zeros_like(ox)
-    bny_ref[:] = jnp.zeros_like(ox)
-    bnz_ref[:] = jnp.ones_like(ox)
-    bmat_ref[:] = jnp.zeros_like(ox, dtype=jnp.int32)
-
-    def inst_body(k, _):
-        i = jnp.where(overflow > 0, k, cand_ref[tile_id, jnp.minimum(k, cand_ref.shape[1] - 1)])
-        valid = inst_i_ref[i, _II_VALID] > 0
-        is_box = inst_i_ref[i, _II_IS_BOX] > 0
-
-        tns, tfs, inside = _slab_terms(
-            inst_f_ref, i, ox, oy, oz, ix, iy, iz, par_x, par_y, par_z,
-            _IF_BMIN,
+    # ---- box fast path: identity-rotation box meshes hit exactly where
+    # the (already computed) world slab enters/exits -----------------
+    @pl.when(any_hit & is_box)
+    def _():
+        ok, t_hit, wtri, nx, ny, nz = _box_face_hit(
+            tns, tfs, inside, dx, dy, dz, inst_f_ref, inst_i_ref, i
         )
-        tmin = jnp.maximum(jnp.maximum(tns[0], tns[1]), tns[2])
-        tmax = jnp.minimum(jnp.minimum(tfs[0], tfs[1]), tfs[2])
-        # Prune boxes no nearer than the current best (monotone optimization:
-        # cannot change results, only skips provably-farther work).
-        box_hit = (tmin <= tmax) & (tmax >= rm.THRESHOLD) & (tmin < bt_ref[:])
-        any_hit = jnp.any(box_hit) & valid
+        ok = ok & (t_hit < bt_ref[:])
+        bt_ref[:] = jnp.where(ok, t_hit, bt_ref[:])
+        btri_ref[:] = jnp.where(ok, wtri, btri_ref[:])
+        bu_ref[:] = jnp.where(ok, 1.0 / 3.0, bu_ref[:])
+        bv_ref[:] = jnp.where(ok, 1.0 / 3.0, bv_ref[:])
+        bnx_ref[:] = jnp.where(ok, nx, bnx_ref[:])
+        bny_ref[:] = jnp.where(ok, ny, bny_ref[:])
+        bnz_ref[:] = jnp.where(ok, nz, bnz_ref[:])
+        bmat_ref[:] = jnp.where(ok, inst_i_ref[i, _II_MAT], bmat_ref[:])
 
-        # ---- box fast path: identity-rotation box meshes hit exactly where
-        # the (already computed) world slab enters/exits -----------------
-        @pl.when(any_hit & is_box)
-        def _():
-            ok, t_hit, wtri, nx, ny, nz = _box_face_hit(
-                tns, tfs, inside, dx, dy, dz, inst_f_ref, inst_i_ref, i
-            )
-            ok = ok & (t_hit < bt_ref[:])
-            bt_ref[:] = jnp.where(ok, t_hit, bt_ref[:])
-            btri_ref[:] = jnp.where(ok, wtri, btri_ref[:])
-            bu_ref[:] = jnp.where(ok, 1.0 / 3.0, bu_ref[:])
-            bv_ref[:] = jnp.where(ok, 1.0 / 3.0, bv_ref[:])
-            bnx_ref[:] = jnp.where(ok, nx, bnx_ref[:])
-            bny_ref[:] = jnp.where(ok, ny, bny_ref[:])
-            bnz_ref[:] = jnp.where(ok, nz, bnz_ref[:])
-            bmat_ref[:] = jnp.where(ok, inst_i_ref[i, _II_MAT], bmat_ref[:])
-
-        # ---- general template path: per-triangle scan in the instance-local
-        # frame (cast_local, scene.cu:28-40) ------------------------------
-        @pl.when(any_hit & ~is_box)
-        def _():
+    # ---- general template path: per-triangle scan in the instance-local
+    # frame (cast_local, scene.cu:28-40) ------------------------------
+    @pl.when(any_hit & ~is_box)
+    def _():
             px = inst_f_ref[i, _IF_POS + 0]
             py = inst_f_ref[i, _IF_POS + 1]
             pz = inst_f_ref[i, _IF_POS + 2]
@@ -618,10 +588,24 @@ def _cast_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
 
             jax.lax.fori_loop(0, max_tris, tri_body, None)
 
-        return _
 
-    jax.lax.fori_loop(0, loop_n, inst_body, None)
+def _init_best(ox, best):
+    (bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
+     bmat_ref) = best
+    bt_ref[:] = jnp.full_like(ox, jnp.inf)
+    btri_ref[:] = jnp.zeros_like(ox, dtype=jnp.int32)
+    bu_ref[:] = jnp.zeros_like(ox)
+    bv_ref[:] = jnp.zeros_like(ox)
+    bnx_ref[:] = jnp.zeros_like(ox)
+    bny_ref[:] = jnp.zeros_like(ox)
+    bnz_ref[:] = jnp.ones_like(ox)
+    bmat_ref[:] = jnp.zeros_like(ox, dtype=jnp.int32)
 
+
+def _write_best(best, outs):
+    (bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
+     bmat_ref) = best
+    t_out, tri_out, u_out, v_out, nx_out, ny_out, nz_out, mat_out = outs
     t_out[:] = bt_ref[:]
     tri_out[:] = btri_ref[:]
     u_out[:] = bu_ref[:]
@@ -634,6 +618,140 @@ def _cast_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
     ny_out[:] = bny_ref[:] * inv
     nz_out[:] = bnz_ref[:] * inv
     mat_out[:] = bmat_ref[:]
+
+
+def _ray_recips(dx, dy, dz):
+    # Safe reciprocal directions with the reference's skip-parallel semantics.
+    par_x = jnp.abs(dx) < rm.THRESHOLD
+    par_y = jnp.abs(dy) < rm.THRESHOLD
+    par_z = jnp.abs(dz) < rm.THRESHOLD
+    ix = 1.0 / jnp.where(par_x, 1.0, dx)
+    iy = 1.0 / jnp.where(par_y, 1.0, dy)
+    iz = 1.0 / jnp.where(par_z, 1.0, dz)
+    return (par_x, par_y, par_z), (ix, iy, iz)
+
+
+def _cast_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
+                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                 t_out, tri_out, u_out, v_out, nx_out, ny_out, nz_out,
+                 mat_out,
+                 bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
+                 bmat_ref,
+                 *, n_inst: int, max_tris: int):
+    tile_id = pl.program_id(0)
+    loop_n = info_ref[tile_id, 0]
+    overflow = info_ref[tile_id, 1]
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    (par_x, par_y, par_z), (ix, iy, iz) = _ray_recips(dx, dy, dz)
+
+    best = (bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
+            bmat_ref)
+    _init_best(ox, best)
+    rays = (ox, oy, oz, dx, dy, dz)
+    refs = (inst_f_ref, inst_i_ref, tmpl_ref)
+
+    def inst_body(k, _):
+        i = jnp.where(overflow > 0, k, cand_ref[tile_id, jnp.minimum(k, cand_ref.shape[1] - 1)])
+        valid = inst_i_ref[i, _II_VALID] > 0
+
+        tns, tfs, inside = _slab_terms(
+            inst_f_ref, i, ox, oy, oz, ix, iy, iz, par_x, par_y, par_z,
+            _IF_BMIN,
+        )
+        tmin = jnp.maximum(jnp.maximum(tns[0], tns[1]), tns[2])
+        tmax = jnp.minimum(jnp.minimum(tfs[0], tfs[1]), tfs[2])
+        # Prune boxes no nearer than the current best (monotone optimization:
+        # cannot change results, only skips provably-farther work).  `inside`
+        # is the parallel-axis containment term: without it, axis-parallel
+        # rays leave that axis unconstrained and every box votes.
+        box_hit = ((tmin <= tmax) & (tmax >= rm.THRESHOLD)
+                   & (tmin < bt_ref[:]) & inside)
+        any_hit = jnp.any(box_hit) & valid
+        _intersect_instance(i, any_hit, tns, tfs, inside, rays, refs, best,
+                            max_tris)
+        return _
+
+    jax.lax.fori_loop(0, loop_n, inst_body, None)
+    _write_best(best, (t_out, tri_out, u_out, v_out, nx_out, ny_out, nz_out,
+                       mat_out))
+
+
+def _bvh_cast_kernel(order_ref, nodes_ref, inst_f_ref, inst_i_ref, tmpl_ref,
+                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                     t_out, tri_out, u_out, v_out, nx_out, ny_out, nz_out,
+                     mat_out, visits_out,
+                     bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref,
+                     bnz_ref, bmat_ref,
+                     *, n_leaves: int, max_tris: int):
+    """Tile-synchronous stackless LBVH traversal (production accel path).
+
+    The TPU analog of the reference's warp-synchronous iterator
+    (src/rayopt/bvh.cu:99-122 + src/rayenv/scene.cu:54-70): one cursor walks
+    the implicit heap in preorder for the whole ray TILE; a tile-wide vote
+    (``any`` over the 8x128 lanes — the __ballot_sync analog) decides descend
+    vs skip; leaves run the shared instance intersector.  Nodes are
+    O(log N) per occluder, so cast cost scales logarithmically in instance
+    count (asserted by test_accel's visit-count test); ``visits_out`` reports
+    the per-tile node-visit count for exactly that purpose.
+
+    Virtual heap index v starts at 1 (root); children are 2v, 2v+1; leaves are
+    v in [n, 2n); flat array index is (2n-1) - v (cpu/bvh.cc:48-50 layout).
+    Skip-to-next: climb while v is a right child (odd), then step to the
+    sibling; reaching the root ends the walk (bvh.cu:99-112)."""
+    total = 2 * n_leaves - 1
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    (par_x, par_y, par_z), (ix, iy, iz) = _ray_recips(dx, dy, dz)
+
+    best = (bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
+            bmat_ref)
+    _init_best(ox, best)
+    rays = (ox, oy, oz, dx, dy, dz)
+    refs = (inst_f_ref, inst_i_ref, tmpl_ref)
+
+    def skip_next(v):
+        """Next preorder node after skipping v's subtree (bvh.cu:99-112)."""
+        def climb(w):
+            return jax.lax.while_loop(
+                lambda u: (u > 1) & (u % 2 == 1), lambda u: u // 2, w
+            )
+
+        w = climb(v)
+        return jnp.where(w == 1, jnp.int32(0), w + 1)  # 0 == done sentinel
+
+    def body(carry):
+        v, cnt = carry
+        flat = total - v
+        node_ok = nodes_ref[flat, 6] > 0.0
+
+        tns, tfs, inside = _slab_terms(
+            nodes_ref, flat, ox, oy, oz, ix, iy, iz, par_x, par_y, par_z, 0
+        )
+        tmin = jnp.maximum(jnp.maximum(tns[0], tns[1]), tns[2])
+        tmax = jnp.minimum(jnp.minimum(tfs[0], tfs[1]), tfs[2])
+        box_hit = ((tmin <= tmax) & (tmax >= rm.THRESHOLD)
+                   & (tmin < bt_ref[:]) & inside)
+        vote = jnp.any(box_hit) & node_ok
+        is_leaf = v >= n_leaves
+
+        @pl.when(vote & is_leaf)
+        def _():
+            i = order_ref[flat]
+            _intersect_instance(i, vote & (i >= 0), tns, tfs, inside, rays,
+                                refs, best, max_tris)
+
+        v_next = jnp.where(vote & ~is_leaf, 2 * v, skip_next(v))
+        return v_next, cnt + 1
+
+    _, visits = jax.lax.while_loop(
+        lambda c: c[0] > 0, body, (jnp.int32(1), jnp.int32(0))
+    )
+    _write_best(best, (t_out, tri_out, u_out, v_out, nx_out, ny_out, nz_out,
+                       mat_out))
+    visits_out[:] = jnp.full_like(btri_ref[:], visits)
 
 
 def _occlude_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
@@ -660,6 +778,8 @@ def _occlude_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
     iz = 1.0 / jnp.where(par_z, 1.0, dz)
 
     def body(carry):
+        # the blocked mask is carried as i32 (Mosaic cannot yield i1 vectors
+        # from scf.if/while regions)
         k, blk = carry
         i = jnp.where(overflow > 0, k,
                       cand_ref[tile_id, jnp.minimum(k, cand_ref.shape[1] - 1)])
@@ -672,8 +792,8 @@ def _occlude_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
         )
         tmin = jnp.maximum(jnp.maximum(tns[0], tns[1]), tns[2])
         tmax = jnp.minimum(jnp.minimum(tfs[0], tfs[1]), tfs[2])
-        box_hit = ((tmin <= tmax) & (tmax >= rm.THRESHOLD) & ~blk
-                   & (tmin <= max_t))
+        box_hit = ((tmin <= tmax) & (tmax >= rm.THRESHOLD) & (blk == 0)
+                   & (tmin <= max_t) & inside)
         any_hit = jnp.any(box_hit) & valid
 
         # box: blocked iff the slab hit time lands within [THRESHOLD, max_t]
@@ -681,7 +801,7 @@ def _occlude_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
         t_hit = jnp.where(tmin >= rm.THRESHOLD, tmin, tmax)
         box_blocked = (hit_box & (t_hit >= rm.THRESHOLD) & (t_hit <= max_t)
                        & valid & is_box)
-        blk = blk | box_blocked
+        blk = jnp.maximum(blk, box_blocked.astype(jnp.int32))
 
         # template fallback for non-box meshes
         def template(blk):
@@ -738,7 +858,7 @@ def _occlude_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
                 ok = (plane_ok & inside_t & (area > 0.0)
                       & (tt >= rm.THRESHOLD) & (tt <= max_t)
                       & (j < tri_count))
-                return blk | ok
+                return jnp.maximum(blk, ok.astype(jnp.int32))
 
             return jax.lax.fori_loop(0, max_tris, tri_body, blk)
 
@@ -747,11 +867,11 @@ def _occlude_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
 
     def cond(carry):
         k, blk = carry
-        return (k < loop_n) & ~jnp.all(blk)
+        return (k < loop_n) & jnp.any(blk == 0)
 
-    blk0 = jnp.zeros_like(ox, dtype=jnp.bool_)
+    blk0 = jnp.zeros_like(ox, dtype=jnp.int32)
     _, blk = jax.lax.while_loop(cond, body, (jnp.int32(0), blk0))
-    blk_out[:] = blk.astype(jnp.int32)
+    blk_out[:] = blk
 
 
 def _pad_rays(ro, rd, tile):
@@ -773,15 +893,25 @@ def _pad_rays(ro, rd, tile):
 def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
                      tile_rows: int = 8, max_cand: int = 64) -> CastFn:
     """Build the Pallas cast; tables are computed from (scene, geom) at trace
-    time and live in VMEM for the whole kernel.  Per-tile candidate lists from
-    the XLA interval cull arrive via scalar prefetch.
+    time and live in VMEM for the whole kernel.
+
+    Two traversal strategies share the instance intersector
+    (``cfg.pallas_traversal``): ``"cull"`` consumes per-tile candidate lists
+    from the XLA interval cull (scalar prefetch; O(N) cull work but MXU-cheap
+    and near-to-far ordered — best for small scenes), ``"bvh"`` walks the
+    implicit-heap LBVH in-kernel (O(log N) per occluder — required at scale);
+    ``"auto"`` picks by instance count.
 
     The returned cast carries an ``occlude(ro, rd, max_t) -> bool`` attribute
-    (the any-hit kernel) that the shadow march uses on opaque scenes."""
+    (the any-hit kernel) and, for the BVH path, ``visit_counts(ro, rd)``
+    (per-tile node visits, used by the O(log N) scaling test)."""
     tables = build_tables(scene, geom)
     n_inst = tables.inst_i32.shape[0]
     max_tris = int(cfg.max_tris_per_mesh)
     tile = tile_rows * LANES
+    use_walk = cfg.pallas_traversal == "bvh" or (
+        cfg.pallas_traversal == "auto" and n_inst > 2048
+    )
 
     kernel = functools.partial(_cast_kernel, n_inst=n_inst, max_tris=max_tris)
     occ_kernel = functools.partial(_occlude_kernel, n_inst=n_inst,
@@ -792,8 +922,75 @@ def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
+    interp = jax.default_backend() == "cpu"
+    best_scratch = [
+        pltpu.VMEM((tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((tile_rows, LANES), jnp.int32),
+        pltpu.VMEM((tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((tile_rows, LANES), jnp.float32),
+        pltpu.VMEM((tile_rows, LANES), jnp.int32),
+    ]
+    def hit_outs(rows):
+        f = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+        i = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+        return [f, i, f, f, f, f, f, i]
+
+    if use_walk:
+        from ..accel import build_lbvh
+
+        lbvh = build_lbvh(geom.aabb_min, geom.aabb_max)
+        n_leaves = lbvh.n_leaves
+        total = 2 * n_leaves - 1
+        nodes = jnp.zeros((total, 8), jnp.float32)
+        nodes = nodes.at[:, 0:3].set(lbvh.box_min)
+        nodes = nodes.at[:, 3:6].set(lbvh.box_max)
+        nodes = nodes.at[:, 6].set(lbvh.valid.astype(jnp.float32))
+        ordering = lbvh.ordering
+        bvh_kernel = functools.partial(
+            _bvh_cast_kernel, n_leaves=n_leaves, max_tris=max_tris
+        )
+
+    def _run_walk(ro, rd):
+        batch_shape = ro.shape[:-1]
+        comps, r, rp, rows = _pad_rays(ro, rd, tile)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(rows // tile_rows,),
+            in_specs=[table_spec] * 4 + [ray_spec] * 6,
+            out_specs=[out_spec] * 9,
+            scratch_shapes=list(best_scratch),
+        )
+        outs = pl.pallas_call(
+            bvh_kernel,
+            grid_spec=grid_spec,
+            out_shape=hit_outs(rows)
+            + [jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
+            interpret=interp,
+        )(ordering, nodes, tables.inst_f32, tables.inst_i32, tables.tmpl,
+          *comps)
+        t, tri, u, v, nx, ny, nz, mat, visits = outs
+
+        def unpack(x):
+            return x.reshape(rp)[:r].reshape(batch_shape)
+
+        t_u = unpack(t)
+        hit = Hit(
+            valid=jnp.isfinite(t_u),
+            t=t_u,
+            wtri=unpack(tri),
+            uv=jnp.stack([unpack(u), unpack(v)], axis=-1),
+            normal=jnp.stack([unpack(nx), unpack(ny), unpack(nz)], axis=-1),
+            mat=unpack(mat),
+        )
+        per_tile_visits = visits.reshape(-1, tile)[:, 0]
+        return hit, per_tile_visits
 
     def cast(ro, rd):
+        if use_walk:
+            return _run_walk(ro, rd)[0]
         batch_shape = ro.shape[:-1]
         comps, r, rp, rows = _pad_rays(ro, rd, tile)
         cand, info = tile_candidates(comps, tile_rows, tables.inst_f32,
@@ -804,33 +1001,15 @@ def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
             grid=(rows // tile_rows,),
             in_specs=[table_spec, table_spec, table_spec] + [ray_spec] * 6,
             out_specs=[out_spec] * 8,
-            scratch_shapes=[
-                pltpu.VMEM((tile_rows, LANES), jnp.float32),
-                pltpu.VMEM((tile_rows, LANES), jnp.int32),
-                pltpu.VMEM((tile_rows, LANES), jnp.float32),
-                pltpu.VMEM((tile_rows, LANES), jnp.float32),
-                pltpu.VMEM((tile_rows, LANES), jnp.float32),
-                pltpu.VMEM((tile_rows, LANES), jnp.float32),
-                pltpu.VMEM((tile_rows, LANES), jnp.float32),
-                pltpu.VMEM((tile_rows, LANES), jnp.int32),
-            ],
+            scratch_shapes=list(best_scratch),
         )
         t, tri, u, v, nx, ny, nz, mat = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-                jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
-            ],
+            out_shape=hit_outs(rows),
             # Mosaic targets TPUs; on CPU hosts (tests, oracle comparisons) the
             # kernel runs in the interpreter with identical semantics.
-            interpret=(jax.default_backend() == "cpu"),
+            interpret=interp,
         )(cand, info, tables.inst_f32, tables.inst_i32, tables.tmpl, *comps)
 
         def unpack(x):
@@ -845,6 +1024,9 @@ def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
             normal=jnp.stack([unpack(nx), unpack(ny), unpack(nz)], axis=-1),
             mat=unpack(mat),
         )
+
+    if use_walk:
+        cast.visit_counts = lambda ro, rd: _run_walk(ro, rd)[1]
 
     def occlude(ro, rd, max_t):
         batch_shape = ro.shape[:-1]

@@ -155,7 +155,12 @@ class RenderConfig:
     shadow_steps: int = 4  # bounded version of the unbounded shadow march
     #                        (src/rayprimitives/light.cu:34-60); documented deviation
     engine: str = "jnp"  # "jnp" oracle | "pallas" TPU fast path
-    pallas_kernel: str = "mxu"  # "mxu" (pluecker matmuls) | "scalar" (v2 loop)
+    pallas_kernel: str = "scalar"  # "scalar" (box/template tile loop, the
+    #               production kernel) | "mxu" (pluecker matmuls, general-mesh
+    #               alternative)
+    pallas_traversal: str = "auto"  # "cull" per-tile candidate lists (O(N)
+    #               XLA cull, near-to-far) | "bvh" in-kernel stackless LBVH
+    #               walk (O(log N) per occluder) | "auto" by instance count
     use_bvh: bool = True  # False == reference's -r brute-force fallback
     ray_chunk: int = 16384  # rays per cast chunk (memory bound)
     pallas_ray_chunk: int = 1 << 19  # rays per Pallas kernel launch: one
