@@ -16,34 +16,52 @@ import time
 
 BASELINE_WORLD8_MS = 13.5  # midpoint of the reference GPU plateau (BASELINE.md)
 
-_NULL_FETCH_MS = None
+
+def _loop_time_ms(fn, first_arg, rest_args=(), iters=10, repeats=3):
+    """ms per call of ``fn(first_arg, *rest_args)``, measured as N dependent
+    iterations inside ONE jit.  The TPU relay adds ~20-30 ms of host
+    round-trip per fetch and ``block_until_ready`` is not a trustworthy fence
+    there, so single-shot timings drown in noise; chaining N iterations
+    (``arg + 1e-30 * checksum`` keeps XLA from hoisting the body) amortizes
+    the fetch to noise level.  ``first_arg`` must be a float array."""
+    import jax
+    import jax.numpy as jnp
+
+    def chained(first, rest):
+        def body(_, carry):
+            csum, f = carry
+            out = fn(f + 1e-30 * csum, *rest)
+            leaves = jax.tree_util.tree_leaves(out)
+            csum = sum(jnp.sum(jnp.asarray(l, jnp.float32)) for l in leaves)
+            return csum, f
+
+        csum, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0.0), first))
+        return csum
+
+    run = jax.jit(chained)
+    checksum = float(run(first_arg, rest_args))  # compile + warm
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run(first_arg, rest_args))
+        times.append(time.perf_counter() - t0)
+
+    nrun = jax.jit(lambda f, r: jnp.sum(f) * 0.0)
+    float(nrun(first_arg, rest_args))
+    nulls = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(nrun(first_arg, rest_args))
+        nulls.append(time.perf_counter() - t0)
+
+    ms = max(min(times) - min(nulls), 0.0) * 1e3 / iters
+    return ms, checksum
 
 
-def _sync_ms():
-    """Per-call host round-trip latency of a trivial fetch (this environment's
-    TPU relay makes ``block_until_ready`` unreliable as a fence — the only
-    trustworthy sync is fetching a scalar derived from the result, so every
-    timing below does that and subtracts this latency)."""
-    global _NULL_FETCH_MS
-    if _NULL_FETCH_MS is None:
-        import jax
-        import jax.numpy as jnp
-
-        f = jax.jit(lambda x: jnp.sum(x))
-        x = jnp.ones((8,))
-        float(f(x))
-        times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            float(f(x))
-            times.append((time.perf_counter() - t0) * 1e3)
-        _NULL_FETCH_MS = min(times)
-        print(f"null fetch: {_NULL_FETCH_MS:.2f} ms", file=sys.stderr)
-    return _NULL_FETCH_MS
-
-
-def bench_world(config_path: str, width=640, height=480, repeats=3,
+def bench_world(config_path: str, width=640, height=480, iters=10,
                 use_bvh=True):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -59,24 +77,17 @@ def bench_world(config_path: str, width=640, height=480, repeats=3,
     scene = device_scene(w.scene)
     camera = jax.tree_util.tree_map(jnp.asarray, w.camera)
 
-    @jax.jit
-    def frame_checksum(scene_, camera_):
-        return jnp.sum(render_frame(scene_, camera_, cfg))
+    def frame(cam_pos):
+        cam = dataclasses.replace(camera, pos=cam_pos)
+        return render_frame(scene, cam, cfg)
 
-    checksum = float(frame_checksum(scene, camera))  # compile warm-up + sync
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(frame_checksum(scene, camera))
-        times.append((time.perf_counter() - t0) * 1e3)
-    ms = max(min(times) - _sync_ms(), 1e-3)
-    return ms, checksum
+    return _loop_time_ms(frame, camera.pos, iters=iters)
 
 
-def bench_fwd_bwd(config_path: str, width=1920, height=1080, repeats=3):
-    """North-star detail metric (BASELINE.json): Mrays/sec/chip fwd+bwd at
-    1080p on world8 — one forward render + backward pass to materials, lights,
-    and camera pose per measured step."""
+def bench_fwd_bwd(config_path: str, width=1920, height=1080, iters=3):
+    """North-star metric (BASELINE.json): Mrays/sec/chip fwd+bwd at 1080p on
+    world8 — one forward render + backward pass to materials, lights, and
+    camera pose per measured step."""
     import jax
     import jax.numpy as jnp
 
@@ -96,25 +107,21 @@ def bench_fwd_bwd(config_path: str, width=1920, height=1080, repeats=3):
     camera = jax.tree_util.tree_map(jnp.asarray, camera)
     params = diff.trainable_params(scene, camera)
     target = jnp.zeros((height, width, 4), jnp.float32)
+    loss_fn = diff.make_loss_fn(scene, camera, cfg, target)
 
-    @jax.jit
-    def step(params_):
-        loss_fn = diff.make_loss_fn(scene, camera, cfg, target)
-        value, grads = jax.value_and_grad(loss_fn)(params_)
-        gsum = sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(grads))
-        return value + 0.0 * gsum, grads
+    def step(target_):
+        def loss2(p):
+            return diff.l2_image_loss(
+                diff.render_with_params(scene, camera, cfg, p), target_
+            )
 
-    value, _ = step(params)
-    float(value)  # compile warm-up + sync
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        value, _ = step(params)
-        float(value)
-        times.append(time.perf_counter() - t0)
-    s = max(min(times) - _sync_ms() * 1e-3, 1e-6)
+        value, grads = jax.value_and_grad(loss2)(params)
+        return value, grads
+
+    ms, _ = _loop_time_ms(step, target, iters=iters)
+    s = max(ms, 1e-3) * 1e-3
     mrays = width * height / s / 1e6
-    return s * 1e3, mrays
+    return ms, mrays
 
 
 def main():

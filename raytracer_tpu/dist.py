@@ -102,3 +102,211 @@ def make_sharded_render(scene, camera, cfg, mesh: Mesh):
         return render_rays(scene_, geom, cast, cfg_, ro, rd)
 
     return lambda: run(scene_r, camera_r, cfg)[: cfg.height]
+
+
+# ---------------------------------------------------------------------------
+# Geometry partitioning ("tensor parallel" over instances)
+# ---------------------------------------------------------------------------
+#
+# For scenes that outgrow one chip's memory (or instance budget), instances
+# are partitioned into contiguous shards over a second mesh axis.  Each device
+# casts rays against ONLY its geometry shard (its own LBVH / candidate
+# tables), then the per-shard closest hits are merged with one all_gather +
+# argmin over the geom axis; occlusion queries reduce with a psum-OR.  Rays
+# stay resident per device (the stationary-queries / partitioned-scene layout
+# — the ray-tracing analog of megatron-style sharding, designed fresh per
+# SURVEY.md §2.3 row 3).
+
+GEOM_AXIS = "geom"
+
+
+def make_mesh2d(n_ray: int, n_geom: int, devices: Optional[Sequence] = None
+                ) -> Mesh:
+    """A (rays x geom) mesh over the first n_ray*n_geom devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    devices = np.asarray(devices[: n_ray * n_geom]).reshape(n_ray, n_geom)
+    return Mesh(devices, (RAY_AXIS, GEOM_AXIS))
+
+
+def split_scene_by_instances(scene, n_shards: int):
+    """Host-side partition of a Scene's instances into ``n_shards`` contiguous
+    chunks, padded to equal size (pad instances sit at 1e30 so they can never
+    be hit).  Returns a pytree of stacked per-shard arrays with leading axis
+    ``n_shards`` — feed through shard_map with in_spec P(GEOM_AXIS).
+
+    Per-shard leaves: inst_pos/rot/mesh [S, Np, ...], wtri_inst (LOCAL ids) /
+    wtri_tri [S, Wp], wtri_base [S] (global world-tri offset of the shard)."""
+    import numpy as onp
+
+    n = int(onp.asarray(scene.inst_pos).shape[0])
+    per = pad_to_multiple(n, n_shards) // n_shards + 1  # +1: dedicated pad
+    #   instance at index per-1 of every shard (always present, parked at
+    #   1e30) so padded world-tri rows never alias real geometry
+
+    inst_pos = onp.asarray(scene.inst_pos)
+    inst_rot = onp.asarray(scene.inst_rot)
+    inst_mesh = onp.asarray(scene.inst_mesh)
+    wtri_inst = onp.asarray(scene.wtri_inst)
+    wtri_tri = onp.asarray(scene.wtri_tri)
+
+    pos_s, rot_s, mesh_s = [], [], []
+    winst_s, wtri_s, wbase_s = [], [], []
+    # world tris are contiguous per instance (expand_geometry layout)
+    inst_starts = onp.searchsorted(wtri_inst, onp.arange(n))
+    inst_ends = onp.searchsorted(wtri_inst, onp.arange(n), side="right")
+    w_max = 0
+    chunks = []
+    for s in range(n_shards):
+        lo = min(s * (per - 1), n)
+        hi = min(lo + per - 1, n)
+        w_lo = int(inst_starts[lo]) if lo < n else len(wtri_inst)
+        w_hi = int(inst_starts[hi]) if hi < n else len(wtri_inst)
+        chunks.append((lo, hi, w_lo, w_hi))
+        w_max = max(w_max, w_hi - w_lo)
+
+    for lo, hi, w_lo, w_hi in chunks:
+        k = hi - lo
+        assert k < per  # index per-1 is reserved for the pad instance
+        p = onp.full((per, 3), 1.0e30, onp.float32)
+        r = onp.tile(onp.array([0, 0, 0, 1], onp.float32), (per, 1))
+        m = onp.zeros((per,), onp.int32)
+        p[:k] = inst_pos[lo:hi]
+        r[:k] = inst_rot[lo:hi]
+        m[:k] = inst_mesh[lo:hi]
+        wi = onp.full((w_max,), per - 1, onp.int32)  # pad rows -> pad instance
+        wt = onp.zeros((w_max,), onp.int32)
+        wi[: w_hi - w_lo] = wtri_inst[w_lo:w_hi] - lo  # LOCAL instance ids
+        wt[: w_hi - w_lo] = wtri_tri[w_lo:w_hi]
+        pos_s.append(p)
+        rot_s.append(r)
+        mesh_s.append(m)
+        winst_s.append(wi)
+        wtri_s.append(wt)
+        wbase_s.append(w_lo)
+
+    stack = lambda xs: jnp.asarray(onp.stack(xs))
+    return {
+        "inst_pos": stack(pos_s),
+        "inst_rot": stack(rot_s),
+        "inst_mesh": stack(mesh_s),
+        "wtri_inst": stack(winst_s),
+        "wtri_tri": stack(wtri_s),
+        "wtri_base": jnp.asarray(onp.asarray(wbase_s, onp.int32)),
+    }
+
+
+def _local_scene(scene, shard):
+    """Rebuild a Scene whose instance tables are one geometry shard."""
+    import dataclasses
+
+    return dataclasses.replace(
+        scene,
+        inst_pos=shard["inst_pos"],
+        inst_rot=shard["inst_rot"],
+        inst_mesh=shard["inst_mesh"],
+        wtri_inst=shard["wtri_inst"],
+        wtri_tri=shard["wtri_tri"],
+    )
+
+
+def make_geom_sharded_cast(scene, cfg, shard):
+    """Build the per-shard cast + hit-merge collective (call inside shard_map
+    over a mesh with GEOM_AXIS).  Returns a CastFn with ``.occlude`` whose
+    results equal a single-device cast of the full scene."""
+    from .render.cast import Hit
+    from .render.engine import make_cast
+    from .render.geometry import expand_geometry
+
+    local = _local_scene(scene, shard)
+    geom = expand_geometry(local)
+    inner = make_cast(local, geom, cfg)
+    wtri_base = shard["wtri_base"]
+
+    def cast(o, d):
+        h = inner(o, d)
+        has_attrs = h.normal is not None and h.mat is not None
+        fields = (
+            h.valid, jnp.where(h.valid, h.t, jnp.inf),
+            h.wtri + wtri_base, h.uv,
+            h.normal if has_attrs else jnp.zeros_like(o),
+            h.mat if has_attrs else jnp.zeros(o.shape[:-1], jnp.int32),
+        )
+        g = jax.lax.all_gather(fields, GEOM_AXIS)  # leading axis = shards
+        valid, t, wtri, uv, normal, mat = g
+        arg = jnp.argmin(t, axis=0)
+
+        def pick(x):
+            idx = arg.reshape((1,) + arg.shape + (1,) * (x.ndim - 1 - arg.ndim))
+            return jnp.take_along_axis(x, idx, axis=0)[0]
+
+        best_t = pick(t)
+        return Hit(
+            valid=jnp.isfinite(best_t),
+            t=best_t,
+            wtri=pick(wtri),
+            uv=pick(uv),
+            normal=pick(normal) if has_attrs else None,
+            mat=pick(mat) if has_attrs else None,
+        )
+
+    occ = getattr(inner, "occlude", None)
+    if occ is not None:
+        def occlude(o, d, max_t):
+            blk = occ(o, d, max_t)
+            return jax.lax.psum(blk.astype(jnp.int32), GEOM_AXIS) > 0
+
+        cast.occlude = occlude
+    return cast
+
+
+def make_geom_sharded_render(scene, camera, cfg, mesh: Mesh):
+    """Render with BOTH ray rows and scene instances partitioned over a 2-D
+    (rays x geom) mesh: each device casts its ray block against its geometry
+    shard; per-shard hits merge with one all_gather+argmin on the ICI geom
+    axis, shading runs on the merged hits.
+
+    Requires the Pallas engine (the merged Hit must carry normal+material;
+    the jnp oracle's attribute gathers would need the full geometry)."""
+    assert cfg.engine == "pallas", "geometry sharding needs the Pallas cast"
+    import dataclasses
+
+    from .render.engine import render_rays
+    from .render.geometry import camera_rays, expand_geometry
+
+    n_geom = mesh.shape[GEOM_AXIS]
+    n_ray = mesh.shape[RAY_AXIS]
+    shards = split_scene_by_instances(scene, n_geom)
+    scene_r = shard_scene(scene, mesh)
+    hp = pad_to_multiple(cfg.height, n_ray)
+
+    @partial(jax.jit, static_argnames=("cfg_",))
+    def run(scene_, shards_, cfg_):
+        ro, rd = camera_rays(
+            jax.tree_util.tree_map(jnp.asarray, camera), cfg_.width,
+            cfg_.height,
+        )
+        pad = hp - cfg_.height
+        ro = jnp.pad(ro, ((0, pad), (0, 0), (0, 0)))
+        rd = jnp.pad(rd, ((0, pad), (0, 0), (0, 0)), constant_values=0.0)
+        if pad:
+            mask = jnp.arange(hp) >= cfg_.height
+            rd = jnp.where(mask[:, None, None], jnp.array([0.0, 0.0, 1.0]),
+                           rd)
+
+        def body(shard, ro_b, rd_b):
+            # P(GEOM_AXIS) splits the stacked shard arrays to a size-1
+            # leading axis per device; drop it.
+            shard = jax.tree_util.tree_map(lambda x: x[0], shard)
+            cast = make_geom_sharded_cast(scene_, cfg_, shard)
+            local = _local_scene(scene_, shard)
+            geom = expand_geometry(local)
+            return render_rays(scene_, geom, cast, cfg_, ro_b, rd_b)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(GEOM_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+            out_specs=P(RAY_AXIS, None, None),
+            check_vma=False,
+        )(shards_, ro, rd)
+
+    return lambda: run(scene_r, shards, cfg)[: cfg.height]

@@ -66,7 +66,12 @@ def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConf
 
     def process_round(st, spawn_mask):
         """Cast + shade one wavefront round; returns (contrib [Cn,4], children)."""
-        hit = cast_fn(st["o"], st["d"])
+        # Park dead slots' origins far outside the scene: compaction keeps
+        # them contiguous at the back, so their cast tiles fail every vote
+        # and cost ~nothing (dead lanes would otherwise re-trace from their
+        # old hit points).
+        o_cast = jnp.where(st["active"][:, None], st["o"], jnp.float32(1e30))
+        hit = cast_fn(o_cast, st["d"])
         # Sanitize miss times (inf) immediately: downstream positions/lengths of
         # masked-out lanes must stay finite or reverse-mode NaN-poisons every
         # parameter gradient (the where-trap).

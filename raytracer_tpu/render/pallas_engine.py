@@ -45,6 +45,21 @@ LANES = 128
 F32_NEG_BIG = -3.0e38
 F32_BIG = 3.0e38
 
+
+def interpret_mode() -> bool:
+    """Whether Pallas kernels run in the interpreter.
+
+    Default: interpret off-TPU (tests, oracle comparisons run on CPU with
+    identical semantics).  ``RAYTRACER_TPU_INTERPRET=0/1`` overrides the
+    backend probe explicitly — the probe is a global default-backend query at
+    trace time, which can mislead under mixed-backend test setups."""
+    import os
+
+    env = os.environ.get("RAYTRACER_TPU_INTERPRET")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return jax.default_backend() == "cpu"
+
 # inst_f32 row layout
 _IF_BMIN = 0   # 0:3 world AABB min
 _IF_BMAX = 3   # 3:6 world AABB max
@@ -922,7 +937,7 @@ def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tile_rows, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    interp = jax.default_backend() == "cpu"
+    interp = interpret_mode()
     best_scratch = [
         pltpu.VMEM((tile_rows, LANES), jnp.float32),
         pltpu.VMEM((tile_rows, LANES), jnp.int32),
@@ -1045,7 +1060,7 @@ def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
             occ_kernel,
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
-            interpret=(jax.default_backend() == "cpu"),
+            interpret=interpret_mode(),
         )(cand, info, tables.inst_f32, tables.inst_i32, tables.tmpl,
           *comps, mt)
         return (blk.reshape(rp)[:r] > 0).reshape(batch_shape)

@@ -45,7 +45,7 @@ from .. import raymath as rm
 from ..scene import RenderConfig, Scene
 from .cast import CastFn, Hit
 from .geometry import WorldGeometry
-from .pallas_engine import tile_candidates, build_tables
+from .pallas_engine import tile_candidates, build_tables, interpret_mode
 
 LANES = 128
 F32_BIG = 3.0e38
@@ -327,7 +327,7 @@ def make_mxu_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
                 jax.ShapeDtypeStruct((rp, 1), jnp.float32),
                 jax.ShapeDtypeStruct((rp, 1), jnp.float32),
             ],
-            interpret=(jax.default_backend() == "cpu"),
+            interpret=interpret_mode(),
         )(info, *tables_t, *staged, id_rows, rd6, rp8)
 
         t = t.reshape(rp)[:r]

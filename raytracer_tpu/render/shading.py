@@ -50,6 +50,11 @@ def _march_shadow(scene: Scene, geom: WorldGeometry, cast_fn: CastFn,
     """Bounded transmissive shadow march; returns per-ray RGBA attenuated light."""
     mats = scene.materials
     dir_unit = jnp.broadcast_to(dir_unit, origin.shape)
+    # Inactive lanes (primary miss / dead wavefront slots) still occupy cast
+    # lanes; parking their origins far outside the scene makes every
+    # instance/BVH vote fail so their tiles cost ~nothing.
+    far = jnp.float32(1e30)
+    origin = jnp.where(active[..., None], origin, far)
 
     if not cfg.any_refractive:
         # Static fast path: no material transmits, so the march degenerates to

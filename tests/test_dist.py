@@ -86,3 +86,20 @@ def test_shard_map_train_step_pallas_world8():
     import __graft_entry__ as entrymod
 
     entrymod.dryrun_multichip(8)
+
+
+def test_geom_sharded_render_matches_single():
+    """Geometry partitioning ("TP"): instances sharded over a 2x4 (rays x
+    geom) mesh, per-shard Pallas casts merged with all_gather+argmin — must
+    reproduce the single-device image (SURVEY.md §2.3 row 3, designed
+    fresh)."""
+    w = generate("/root/reference/world8.json")
+    scene = device_scene(w.scene)
+    cam = jax.tree_util.tree_map(jnp.asarray, w.camera)
+    cfg = w.config.replace(width=64, height=64, engine="pallas",
+                           pallas_kernel="scalar")
+    single = np.asarray(render_frame(scene, cam, cfg))
+    mesh = dist.make_mesh2d(2, 4)
+    sharded = np.asarray(dist.make_geom_sharded_render(scene, cam, cfg,
+                                                       mesh)())
+    np.testing.assert_allclose(single, sharded, rtol=1e-5, atol=1e-6)
