@@ -160,23 +160,38 @@ def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConf
         reflective = jnp.any(kr > 0.0, axis=-1)
         refractive = jnp.any(kt > 0.0, axis=-1)
 
-        refl_d = rm.normalize(rm.reflect(st["d"], normal))
-        eta = mats.eta[mat_idx]
-        n1 = jnp.where(st["in_obj"], eta, 1.0)
-        n2 = jnp.where(st["in_obj"], 1.0, eta)
-        refr_d, tir = rm.refract(st["d"], normal, n1, n2)
-        refr_d = rm.normalize(refr_d)
-
-        children = dict(
-            o=jnp.concatenate([hit_pt, hit_pt]),
-            d=jnp.concatenate([refl_d, refr_d]),
-            atten=jnp.concatenate([atten_eff * kr, atten_eff]),
-            in_obj=jnp.concatenate([st["in_obj"], ~st["in_obj"]]),
-            active=jnp.concatenate(
-                [spawn_ok & reflective, spawn_ok & refractive & ~tir]
-            ),
-            pixel=jnp.concatenate([st["pixel"], st["pixel"]]),
-        )
+        # Static scene facts prune whole child streams: a world with no
+        # refractive (or no reflective) material spawns only ONE child per
+        # ray, so children stay PIXEL-ALIGNED with their parents — later
+        # rounds then accumulate with a plain add instead of a 12-ms scatter
+        # and skip compaction entirely (see later_round).  Every fixture
+        # world has at most one spawning type; mixed scenes keep the general
+        # compacted 2x stream.
+        parts = []
+        if cfg.any_reflective:
+            refl_d = rm.normalize(rm.reflect(st["d"], normal))
+            parts.append(dict(
+                o=hit_pt, d=refl_d, atten=atten_eff * kr,
+                in_obj=st["in_obj"],
+                active=spawn_ok & reflective, pixel=st["pixel"],
+            ))
+        if cfg.any_refractive:
+            eta = mats.eta[mat_idx]
+            n1 = jnp.where(st["in_obj"], eta, 1.0)
+            n2 = jnp.where(st["in_obj"], 1.0, eta)
+            refr_d, tir = rm.refract(st["d"], normal, n1, n2)
+            refr_d = rm.normalize(refr_d)
+            parts.append(dict(
+                o=hit_pt, d=refr_d, atten=atten_eff,
+                in_obj=~st["in_obj"],
+                active=spawn_ok & refractive & ~tir, pixel=st["pixel"],
+            ))
+        if len(parts) == 1:
+            children = parts[0]
+        else:
+            children = {
+                k: jnp.concatenate([p[k] for p in parts]) for k in parts[0]
+            }
         return contrib, children
 
     def compact(children, cap):
@@ -208,14 +223,30 @@ def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConf
     if not can_spawn:
         return acc, dropped0
 
-    state, d0 = compact(children0, C)
-    dropped0 = dropped0 + d0
+    # Single-stream worlds keep children pixel-aligned: no compaction, no
+    # scatter (the cast parks inactive lanes, so dead tiles stay cheap).
+    aligned = cfg.any_reflective != cfg.any_refractive
+
+    if aligned:
+        state = dict(children0)
+        state["d"] = jnp.where(state["active"][:, None], state["d"],
+                               jnp.array([0.0, 0.0, 1.0]))
+    else:
+        state, d0 = compact(children0, C)
+        dropped0 = dropped0 + d0
 
     def later_round(r, st, acc, dropped):
         spawn = r < cfg.recurse_depth  # rounds are 1..depth; the last spawns none
         contrib, children = process_round(st, spawn)
-        acc = acc.at[st["pixel"]].add(contrib, mode="drop")
-        st2, dn = compact(children, C)
+        if aligned:
+            acc = acc + contrib  # pixel-aligned stream
+            st2 = dict(children)
+            st2["d"] = jnp.where(st2["active"][:, None], st2["d"],
+                                 jnp.array([0.0, 0.0, 1.0]))
+            dn = jnp.zeros((), jnp.int32)
+        else:
+            acc = acc.at[st["pixel"]].add(contrib, mode="drop")
+            st2, dn = compact(children, C)
         return st2, acc, dropped + dn
 
     if cfg.early_exit:
