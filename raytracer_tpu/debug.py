@@ -52,6 +52,9 @@ def debug_cast(scene: Scene, camera: Camera, cfg: RenderConfig, x: int, y: int):
                 records.append(rec)
                 continue
             normal, mat_idx, inst = hit_shading_attrs(geom, hit)
+            from .render.shading import gather_material_rows
+
+            rmats = gather_material_rows(scene.materials, mat_idx)
             kt = mats.kt[mat_idx]
             kr = mats.kr[mat_idx]
             atten_eff = jnp.where(
@@ -60,7 +63,7 @@ def debug_cast(scene: Scene, camera: Camera, cfg: RenderConfig, x: int, y: int):
                 it["atten"],
             )
             lum = illuminate(scene, geom, cast, cfg, it["o"], it["d"], hit,
-                             normal, mat_idx, hit.valid)
+                             normal, rmats, hit.valid)
             contrib = np.asarray(atten_eff * lum)[0]
             total += contrib
             rec.update(

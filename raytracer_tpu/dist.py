@@ -67,23 +67,43 @@ def pad_to_multiple(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
-def make_sharded_render(scene, camera, cfg, mesh: Mesh):
+def make_sharded_render(scene, camera, cfg, mesh: Mesh,
+                        balance: str = "contiguous"):
     """Return a jitted render over the mesh: rows of the image are sharded across
     chips, the scene is replicated, and the output image is row-sharded.
 
     The height need not divide the mesh size: the RAY GRID is padded with
     dummy rows up to the next multiple (the camera mapping itself is computed
     at the true height, so framing is unchanged) and the padded rows are
-    cropped off the result."""
+    cropped off the result.
+
+    ``balance="cyclic"`` over-decomposes the screen into row bands assigned
+    round-robin across devices (band b -> device b mod D) instead of one
+    contiguous stripe per device: scenes whose expensive pixels cluster in one
+    region (terrain at the frame's bottom, reflective pools) then spread their
+    work evenly — the tile-over-decomposition load-balancing strategy of
+    SURVEY.md §2.3 row 2.  The permutation and its inverse are static
+    row gathers; results are bit-identical to contiguous sharding."""
     from .render.engine import make_cast, render_rays
     from .render.geometry import camera_rays, expand_geometry
 
     n_dev = mesh.devices.size
-    hp = pad_to_multiple(cfg.height, n_dev)
+    band = 8  # rows per band; small enough to split hotspot regions finely
+    hp = pad_to_multiple(cfg.height, n_dev * band)
     scene_r = shard_scene(scene, mesh)
     camera_r = jax.tree_util.tree_map(
         lambda x: jax.device_put(jnp.asarray(x), replicated(mesh)), camera
     )
+
+    perm = None
+    if balance == "cyclic":
+        n_bands = hp // band
+        order = np.arange(n_bands).reshape(-1, n_dev).T.reshape(-1)
+        perm = (order[:, None] * band + np.arange(band)[None, :]).reshape(-1)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(hp)
+        perm = jnp.asarray(perm)
+        inv = jnp.asarray(inv)
 
     out_sharding = NamedSharding(mesh, P(RAY_AXIS, None, None))
 
@@ -99,7 +119,12 @@ def make_sharded_render(scene, camera, cfg, mesh: Mesh):
             mask = jnp.arange(hp) >= cfg_.height
             rd = jnp.where(mask[:, None, None],
                            jnp.array([0.0, 0.0, 1.0]), rd)
-        return render_rays(scene_, geom, cast, cfg_, ro, rd)
+        if perm is not None:
+            ro, rd = ro[perm], rd[perm]
+        img = render_rays(scene_, geom, cast, cfg_, ro, rd)
+        if perm is not None:
+            img = img[inv]
+        return img
 
     return lambda: run(scene_r, camera_r, cfg)[: cfg.height]
 
@@ -310,3 +335,65 @@ def make_geom_sharded_render(scene, camera, cfg, mesh: Mesh):
         )(shards_, ro, rd)
 
     return lambda: run(scene_r, shards, cfg)[: cfg.height]
+
+
+def make_ring_geom_cast(scene, cfg, shard):
+    """Ring-streaming variant of geometry partitioning: instead of gathering
+    per-shard hits, the GEOMETRY SHARD rotates around the geom-axis ring
+    (ppermute) while rays stay resident; each of the G steps casts against the
+    visiting shard and folds the closest hit.  Communication per step is one
+    instance-table shard (~KB) instead of per-ray hit payloads — the
+    ray-tracing analog of ring attention (stationary queries, rotating KV;
+    SURVEY.md §5 long-context requirement).  Call inside shard_map over a
+    mesh with GEOM_AXIS."""
+    import dataclasses
+
+    from .render.cast import Hit
+    from .render.engine import make_cast
+    from .render.geometry import expand_geometry
+
+    axis_size = jax.lax.axis_size(GEOM_AXIS)
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+
+    def cast(o, d):
+        def fold(best, sh):
+            local = _local_scene(scene, sh)
+            geom = expand_geometry(local)
+            h = make_cast(local, geom, cfg)(o, d)
+            t = jnp.where(h.valid, h.t, jnp.inf)
+            better = t < best[0]
+            has_attrs = h.normal is not None and h.mat is not None
+            return (
+                jnp.where(better, t, best[0]),
+                jnp.where(better, h.wtri + sh["wtri_base"], best[1]),
+                jnp.where(better[..., None], h.uv, best[2]),
+                jnp.where(better[..., None],
+                          h.normal if has_attrs else 0.0, best[3]),
+                jnp.where(better, h.mat if has_attrs else 0, best[4]),
+            )
+
+        best = (
+            jnp.full(o.shape[:-1], jnp.inf, jnp.float32),
+            jnp.zeros(o.shape[:-1], jnp.int32),
+            jnp.zeros(o.shape[:-1] + (2,), jnp.float32),
+            jnp.zeros_like(o),
+            jnp.zeros(o.shape[:-1], jnp.int32),
+        )
+
+        def body(i, carry):
+            best, sh = carry
+            best = fold(best, sh)
+            sh = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, GEOM_AXIS, perm), sh
+            )
+            return best, sh
+
+        best, _ = jax.lax.fori_loop(0, axis_size, body, (best, shard))
+        t, wtri, uv, normal, mat = best
+        valid = jnp.isfinite(t)
+        has_attrs = cfg.engine == "pallas"  # Pallas casts emit normal+mat
+        return Hit(valid=valid, t=t, wtri=wtri, uv=uv,
+                   normal=normal if has_attrs else None,
+                   mat=mat if has_attrs else None)
+
+    return cast

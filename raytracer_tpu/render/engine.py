@@ -2,13 +2,22 @@
 
 Replaces the reference's per-pixel recursion / explicit stack machine
 (``propagate_ray``, src/rayenv/scene.cu:75-187 and the cleaner CPU recursion
-scene.cu:222-268) with a **compacted wavefront**: one fixed-capacity work queue
-of ray items (the SoA analog of ``RayFrame``), advanced one bounce round per
-``lax.scan`` step.  Each round casts the whole queue, shades, scatter-adds into
-the framebuffer, spawns reflect/refract children, and compacts the (up to 2x)
-candidates back to queue capacity by sorting inactive items to the back — the
-TPU-shaped replacement for per-thread recursion stacks and the
-"sorted stream/queue formulation" called for in BASELINE.json.
+scene.cu:222-268) with a **wavefront**: a fixed-capacity queue of ray items
+(the SoA analog of ``RayFrame``), advanced one bounce round per loop step —
+the TPU-shaped replacement for per-thread recursion stacks and the "sorted
+stream/queue formulation" called for in BASELINE.json.
+
+Two queue disciplines, chosen statically from scene facts:
+
+* **pixel-aligned streams** (any world whose materials spawn only ONE child
+  type — all fixture worlds): children inherit their parent's slot, so every
+  round accumulates into the frame with a plain add and dead slots are merely
+  parked (origins at 1e30 -> their cast tiles fail every vote).  No per-round
+  compaction sort, no scatter (a 307k-ray scatter-add measures ~12 ms on
+  v5e).
+* **compacted 2x streams** (scenes with both reflective AND refractive
+  materials): reflect+refract children concatenate, actives sort to the
+  front, and contributions scatter-add by carried pixel id.
 
 Because round shapes are identical, the whole bounce loop compiles once
 (a single cast + shade instance), instead of one copy per node of the
@@ -81,8 +90,11 @@ def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConf
                    wtri=hit.wtri, uv=hit.uv, normal=hit.normal, mat=hit.mat)
         h_valid = st["active"] & hit.valid
         normal, mat_idx, _ = hit_shading_attrs(geom, hit)
-        kt = mats.kt[mat_idx]
-        kr = mats.kr[mat_idx]
+        from .shading import gather_material_rows
+
+        rmats = gather_material_rows(mats, mat_idx)
+        kt = rmats.kt
+        kr = rmats.kr
 
         # Transmission attenuation applies on every hit while inside a medium,
         # using the *hit* material's Kt and segment length (scene.cu:112-115).
@@ -95,7 +107,7 @@ def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConf
         )
 
         lum = illuminate(scene, geom, cast_fn, cfg, st["o"], st["d"], hit,
-                         normal, mat_idx, h_valid)
+                         normal, rmats, h_valid)
         vis = h_valid.astype(jnp.float32)
         if cfg.edge_aware_grads:
             # Edge-aware visibility (backward only): the hard hit mask is
@@ -176,7 +188,7 @@ def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConf
                 active=spawn_ok & reflective, pixel=st["pixel"],
             ))
         if cfg.any_refractive:
-            eta = mats.eta[mat_idx]
+            eta = rmats.eta
             n1 = jnp.where(st["in_obj"], eta, 1.0)
             n2 = jnp.where(st["in_obj"], 1.0, eta)
             refr_d, tir = rm.refract(st["d"], normal, n1, n2)

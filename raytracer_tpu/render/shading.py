@@ -31,6 +31,31 @@ from .cast import CastFn, Hit, hit_shading_attrs
 from .geometry import WorldGeometry
 
 
+def gather_material_rows(mats, mat_idx):
+    """Per-ray material rows via ONE one-hot matmul instead of eight gathers.
+
+    The material table is tiny (a handful of rows), so ``onehot @ table`` is
+    MXU-trivial — and crucially its *transpose* (the backward pass's
+    gradient-to-table reduction) is also a matmul, where a gather's transpose
+    is a scatter-add (measured ~12 ms per 307k rays on v5e).  Returns a
+    ``Materials`` whose leaves are per-ray rows ([R,4] / [R])."""
+    import dataclasses
+
+    k = mats.kd.shape[0]
+    onehot = jax.nn.one_hot(mat_idx, k, dtype=jnp.float32)  # [R, K]
+    table = jnp.concatenate(
+        [mats.ke, mats.ka, mats.kd, mats.ks, mats.kt, mats.kr,
+         mats.alpha[:, None], mats.eta[:, None]], axis=1,
+    )  # [K, 26]
+    rows = onehot @ table  # [R, 26]
+    return dataclasses.replace(
+        mats,
+        ke=rows[:, 0:4], ka=rows[:, 4:8], kd=rows[:, 8:12], ks=rows[:, 12:16],
+        kt=rows[:, 16:20], kr=rows[:, 20:24], alpha=rows[:, 24],
+        eta=rows[:, 25],
+    )
+
+
 def distance_attenuation(scene: Scene, dist):
     c = scene.dist_atten[0]
     l = scene.dist_atten[1]
@@ -79,7 +104,10 @@ def _march_shadow(scene: Scene, geom: WorldGeometry, cast_fn: CastFn,
         step_hit = alive & hit.valid
         t_fin = jnp.where(hit.valid, hit.t, 1.0)  # keep masked lanes finite
         beyond = step_hit & (t_fin > remaining)
-        kt = mats.kt[h_mat]
+        # one-hot matmul instead of a gather: its transpose is a matmul, not
+        # a scatter (see gather_material_rows)
+        kt = jax.nn.one_hot(h_mat, mats.kt.shape[0],
+                            dtype=jnp.float32) @ mats.kt
         refractive = jnp.any(kt > 0.0, axis=-1)
         opaque = step_hit & ~beyond & ~refractive
         continuing = step_hit & ~beyond & refractive
@@ -138,13 +166,13 @@ def sample_atlas(scene: Scene, geom: WorldGeometry, hit: Hit):
     return scene.atlas[py, px], degenerate
 
 
-def phong_term(scene: Scene, mat_idx, incoming, ray_dir, dir_to_light, normal,
+def phong_term(rmats, incoming, ray_dir, dir_to_light, normal,
                kd_override=None):
-    """One light's Phong contribution (phong.cu:14-33)."""
-    mats = scene.materials
-    kd = mats.kd[mat_idx] if kd_override is None else kd_override
-    ks = mats.ks[mat_idx]
-    alpha = mats.alpha[mat_idx]
+    """One light's Phong contribution (phong.cu:14-33).  ``rmats`` holds
+    per-ray material rows (gather_material_rows)."""
+    kd = rmats.kd if kd_override is None else kd_override
+    ks = rmats.ks
+    alpha = rmats.alpha
     norm_dot = jnp.maximum(rm.dot(dir_to_light, normal), 0.0)
     diffuse = norm_dot[..., None] * kd
     reflected = rm.reflect(-dir_to_light, normal)
@@ -154,16 +182,16 @@ def phong_term(scene: Scene, mat_idx, incoming, ray_dir, dir_to_light, normal,
 
 
 def illuminate(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConfig,
-               ray_o, ray_d, hit: Hit, normal, mat_idx, active):
-    """Full local shading at a hit point (phong.cu:40-67)."""
-    mats = scene.materials
+               ray_o, ray_d, hit: Hit, normal, rmats, active):
+    """Full local shading at a hit point (phong.cu:40-67).  ``rmats`` holds
+    per-ray material rows (gather_material_rows)."""
     hit_pos = ray_o + hit.t[..., None] * ray_d
-    col = mats.ke[mat_idx] + mats.ka[mat_idx] * scene.ambience
+    col = rmats.ke + rmats.ka * scene.ambience
 
     kd_override = None
     if cfg.texture_mapping:
         tex, degenerate = sample_atlas(scene, geom, hit)
-        kd_override = jnp.where(degenerate[..., None], mats.kd[mat_idx], tex)
+        kd_override = jnp.where(degenerate[..., None], rmats.kd, tex)
 
     n_point = scene.lights.point_pos.shape[0]
     for i in range(n_point):
@@ -176,7 +204,7 @@ def illuminate(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderCo
         incoming = datten[..., None] * _march_shadow(
             scene, geom, cast_fn, hit_pos, dir_to_light, dist, lcol, cfg, active
         )
-        col = col + phong_term(scene, mat_idx, incoming, ray_d, dir_to_light,
+        col = col + phong_term(rmats, incoming, ray_d, dir_to_light,
                                normal, kd_override)
 
     n_dir = scene.lights.dir_dir.shape[0]
@@ -188,6 +216,6 @@ def illuminate(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderCo
         incoming = _march_shadow(
             scene, geom, cast_fn, hit_pos, march_dir, jnp.inf, lcol, cfg, active
         )
-        col = col + phong_term(scene, mat_idx, incoming, ray_d, dir_to_light,
+        col = col + phong_term(rmats, incoming, ray_d, dir_to_light,
                                normal, kd_override)
     return col

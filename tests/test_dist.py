@@ -103,3 +103,65 @@ def test_geom_sharded_render_matches_single():
     sharded = np.asarray(dist.make_geom_sharded_render(scene, cam, cfg,
                                                        mesh)())
     np.testing.assert_allclose(single, sharded, rtol=1e-5, atol=1e-6)
+
+
+def test_ring_geom_cast_matches_single():
+    """Ring-streaming geometry partitioning: geometry shards rotate around the
+    geom axis (ppermute) while rays stay resident; folded closest hits must
+    match the full-scene cast (the ring-attention-analog layout, SURVEY.md
+    §5)."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from raytracer_tpu.render.engine import make_cast
+    from raytracer_tpu.render.geometry import camera_rays, expand_geometry
+
+    w = generate("/root/reference/world8.json")
+    scene = device_scene(w.scene)
+    cam = jax.tree_util.tree_map(jnp.asarray, w.camera)
+    cfg = w.config.replace(engine="pallas", pallas_kernel="scalar")
+
+    geom = expand_geometry(scene)
+    full_cast = make_cast(scene, geom, cfg)
+    ro, rd = camera_rays(cam, 64, 64)
+    ro = ro.reshape(-1, 3)
+    rd = rd.reshape(-1, 3)
+    want = full_cast(ro, rd)
+
+    mesh = dist.make_mesh2d(2, 4)
+    shards = dist.split_scene_by_instances(scene, 4)
+
+    def body(shards_, ro_b, rd_b):
+        shard = jax.tree_util.tree_map(lambda x: x[0], shards_)
+        cast = dist.make_ring_geom_cast(scene, cfg, shard)
+        h = cast(ro_b, rd_b)
+        return h.valid, h.t, h.normal, h.mat
+
+    valid, t, normal, mat = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(dist.GEOM_AXIS), P(dist.RAY_AXIS), P(dist.RAY_AXIS)),
+        out_specs=(P(dist.RAY_AXIS), P(dist.RAY_AXIS), P(dist.RAY_AXIS),
+                   P(dist.RAY_AXIS)),
+        check_vma=False,
+    )(shards, ro, rd)
+
+    assert (np.asarray(valid) == np.asarray(want.valid)).all()
+    both = np.asarray(valid)
+    np.testing.assert_allclose(np.asarray(t)[both],
+                               np.asarray(want.t)[both], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(normal)[both],
+                               np.asarray(want.normal)[both], atol=1e-5)
+    assert (np.asarray(mat)[both] == np.asarray(want.mat)[both]).all()
+
+
+def test_cyclic_balanced_render_matches(world1):
+    """Tile over-decomposition: cyclic row-band assignment must be
+    bit-identical to contiguous sharding (it is a static permutation)."""
+    w, scene, cam = world1
+    cfg = w.config.replace(width=64, height=64, use_bvh=False)
+    mesh = dist.make_mesh()
+    a = np.asarray(dist.make_sharded_render(scene, cam, cfg, mesh)())
+    b = np.asarray(dist.make_sharded_render(scene, cam, cfg, mesh,
+                                            balance="cyclic")())
+    np.testing.assert_array_equal(a, b)
