@@ -25,20 +25,44 @@ from .cast import CastFn
 
 
 def detach_visibility(cast_fn: CastFn) -> CastFn:
-    """Wrap a cast so its outputs are treated as constants by autodiff."""
+    """Wrap a cast in the detached-visibility differentiation rule.
+
+    Discrete outputs (hit id, material, validity) stay constants, but the hit
+    TIME gets its true local derivative: on the hit plane with unit normal n,
+    ``t(o, d) = n.(a - o) / n.d``, so
+
+        dt/do = -n / (n.d)        dt/dd = -t n / (n.d)
+
+    which the backward applies analytically from the (already computed) hit
+    normal — no differentiation through the kernel.  This carries camera-pose
+    and hit-position gradients through Pallas renders exactly wherever the
+    hit plane is locally smooth (for faceted box meshes the shading normal IS
+    the plane normal); uv cotangents remain detached (they feed normal
+    interpolation, which is constant on faceted meshes — use the jnp engine
+    for smooth-mesh uv terms)."""
 
     @jax.custom_vjp
     def cast(ro, rd):
         return cast_fn(ro, rd)
 
     def fwd(ro, rd):
-        # Residuals hold only shape/dtype information; the zeros_like in bwd
-        # lets XLA drop the stored values entirely.
-        return cast_fn(ro, rd), (ro, rd)
+        hit = cast_fn(ro, rd)
+        # Residuals: only what the analytic t-VJP needs.
+        n = hit.normal if hit.normal is not None else jnp.zeros_like(ro)
+        return hit, (rd, hit.valid, jnp.where(hit.valid, hit.t, 0.0), n)
 
-    def bwd(res, _g):
-        ro, rd = res
-        return jnp.zeros_like(ro), jnp.zeros_like(rd)
+    def bwd(res, g):
+        rd, valid, t, n = res
+        g_t = getattr(g, "t", None)
+        if g_t is None:
+            return jnp.zeros((0, 3)), jnp.zeros((0, 3))  # unreachable
+        nd = jnp.sum(n * rd, axis=-1)
+        ok = valid & (jnp.abs(nd) >= 1e-5)
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, nd, 1.0), 0.0)
+        scale = jnp.where(ok, g_t, 0.0) * inv
+        go = -scale[..., None] * n
+        gd = -(scale * t)[..., None] * n
+        return go, gd
 
     cast.defvjp(fwd, bwd)
     return cast

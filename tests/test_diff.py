@@ -3,8 +3,10 @@
 The BASELINE acceptance is "image+grad allclose vs ref" — the reference has no
 gradients, so the ground truth here is numerical differentiation of our own
 (image-parity-validated) renderer.  Material/light-color parameters do not move
-silhouettes, so autodiff should match finite differences tightly; camera/vertex
-gradients (visibility terms) are staged for the edge-sampling round."""
+silhouettes, so autodiff should match finite differences tightly; silhouette
+terms for vertex/camera parameters flow through edge_aware_grads (screen-space
+interior hinge band), and the Pallas engine carries the analytic hit-time VJP
+so its camera gradients match the jnp engine."""
 
 import numpy as np
 import pytest
@@ -164,3 +166,32 @@ def test_train_step_reduces_loss(setup):
     v0, grads, params = diff.train_step(scene, cam, cfg, target, params, lr=0.05)
     v1, _, params = diff.train_step(scene, cam, cfg, target, params, lr=0.05)
     assert float(v1) < float(v0)
+
+
+def test_pallas_camera_gradient_matches_jnp_engine():
+    """The Pallas cast's analytic t-VJP (cast_vjp.detach_visibility) must
+    reproduce the jnp engine's camera-position gradient: on faceted box
+    scenes the hit plane's normal fully determines dt/d(o, d), so the two
+    engines' shading-path gradients agree to float precision (BASELINE stage
+    5's camera grads on the production engine)."""
+    import dataclasses
+
+    w = generate("/root/reference/world8.json")
+    scene = device_scene(w.scene)
+    cam = jax.tree_util.tree_map(jnp.asarray, w.camera)
+    target = jnp.zeros((48, 64, 4), jnp.float32)
+
+    def grad_for(engine):
+        cfg = w.config.replace(width=64, height=48, early_exit=False,
+                               engine=engine, pallas_kernel="scalar")
+
+        def loss(pos):
+            c2 = dataclasses.replace(cam, pos=pos)
+            return jnp.mean((render_frame(scene, c2, cfg) - target) ** 2)
+
+        return np.asarray(jax.grad(loss)(cam.pos))
+
+    g_jnp = grad_for("jnp")
+    g_pal = grad_for("pallas")
+    assert np.abs(g_jnp).sum() > 0.0
+    np.testing.assert_allclose(g_pal, g_jnp, rtol=1e-4, atol=1e-8)

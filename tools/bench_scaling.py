@@ -77,8 +77,14 @@ def main():
         print(f"n={n}: {rays_per_s/1e6:.2f} Mrays/s  efficiency={eff:.2%}",
               file=sys.stderr)
 
-    print(json.dumps({"metric": "scaling", "config": args.config,
-                      "results": results}))
+    backend = jax.default_backend()
+    print(json.dumps({
+        "metric": "scaling", "config": args.config, "backend": backend,
+        "note": ("virtual CPU device mesh: demonstrates the sharding "
+                 "mechanism only — 'efficiency' here measures host-core "
+                 "contention, not ICI scaling" if backend == "cpu" else
+                 "real accelerator mesh"),
+        "results": results}))
 
 
 if __name__ == "__main__":
