@@ -2,9 +2,12 @@
 ``debug_cast`` (src/raytracer.cu:91-100, src/main.cc:181-186), which launches a
 1-thread kernel and narrates the bounce state machine via device printf.
 
-Here the probe traces one pixel through the oracle engine and prints each
-bounce level's cast result, shading terms, and spawned rays — host-side, so it
-also works under jit via the returned record structure."""
+Here the probe traces one pixel through the CONFIGURED engine (``cfg.engine``
+— the reference likewise runs debug through the same GPU path as rendering,
+src/raytracer.cu:91-100, so the probe can narrate a production-kernel
+discrepancy) and prints each bounce level's cast result, shading terms, and
+spawned rays — host-side, so it also works under jit via the returned record
+structure."""
 
 from __future__ import annotations
 
@@ -13,17 +16,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import raymath as rm
-from .render.cast import hit_shading_attrs, make_brute_cast
+from .render.cast import hit_shading_attrs
 from .render.geometry import camera_rays, expand_geometry
 from .render.shading import illuminate
-from .render.engine import trans_attenuation
+from .render.engine import make_cast, trans_attenuation
 from .scene import Camera, RenderConfig, Scene
 
 
 def debug_cast(scene: Scene, camera: Camera, cfg: RenderConfig, x: int, y: int):
     """Trace pixel (x, y) verbosely; returns a list of per-bounce records."""
     geom = expand_geometry(scene)
-    cast = make_brute_cast(geom)
+    cast = make_cast(scene, geom, cfg)
     ro, rd = camera_rays(camera, cfg.width, cfg.height)
     o = ro[y, x][None]
     d = rd[y, x][None]

@@ -111,20 +111,36 @@ def make_sharded_render(scene, camera, cfg, mesh: Mesh,
     def run(scene_, camera_, cfg_):
         geom = expand_geometry(scene_)
         cast = make_cast(scene_, geom, cfg_)
-        ro, rd = camera_rays(camera_, cfg_.width, cfg_.height)
-        pad = hp - cfg_.height
-        ro = jnp.pad(ro, ((0, pad), (0, 0), (0, 0)))
-        rd = jnp.pad(rd, ((0, pad), (0, 0), (0, 0)), constant_values=0.0)
-        if pad:
-            mask = jnp.arange(hp) >= cfg_.height
-            rd = jnp.where(mask[:, None, None],
-                           jnp.array([0.0, 0.0, 1.0]), rd)
-        if perm is not None:
-            ro, rd = ro[perm], rd[perm]
-        img = render_rays(scene_, geom, cast, cfg_, ro, rd)
-        if perm is not None:
-            img = img[inv]
-        return img
+
+        def one(jitter):
+            ro, rd = camera_rays(camera_, cfg_.width, cfg_.height,
+                                 jitter=jitter)
+            pad = hp - cfg_.height
+            ro = jnp.pad(ro, ((0, pad), (0, 0), (0, 0)))
+            rd = jnp.pad(rd, ((0, pad), (0, 0), (0, 0)), constant_values=0.0)
+            if pad:
+                mask = jnp.arange(hp) >= cfg_.height
+                rd = jnp.where(mask[:, None, None],
+                               jnp.array([0.0, 0.0, 1.0]), rd)
+            if perm is not None:
+                ro, rd = ro[perm], rd[perm]
+            img = render_rays(scene_, geom, cast, cfg_, ro, rd)
+            if perm is not None:
+                img = img[inv]
+            return img
+
+        if cfg_.spp > 1:
+            # Same jitter sweep as render_frame (engine.spp_jitter_grid), so
+            # the sharded spp>1 image matches the single-device render.
+            from .render.engine import spp_jitter_grid
+
+            offs, shift = spp_jitter_grid(cfg_.spp, cfg_.width, cfg_.height)
+            acc, _ = jax.lax.scan(
+                lambda a, off: (a + one((off + shift) % 1.0), None),
+                jnp.zeros((hp, cfg_.width, 4), jnp.float32), offs,
+            )
+            return acc / cfg_.spp
+        return one(None)
 
     return lambda: run(scene_r, camera_r, cfg)[: cfg.height]
 
@@ -291,8 +307,16 @@ def make_geom_sharded_render(scene, camera, cfg, mesh: Mesh):
     axis, shading runs on the merged hits.
 
     Requires the Pallas engine (the merged Hit must carry normal+material;
-    the jnp oracle's attribute gathers would need the full geometry)."""
+    the jnp oracle's attribute gathers would need the full geometry).  Merged
+    hits carry GLOBAL wtri ids while each device holds only its LOCAL geometry
+    shard, so any shading-side ``geom[wtri]`` gather would silently misindex —
+    edge-aware gradients (engine.py's hinge band gathers geom.a/b/c[wtri]) are
+    therefore rejected here."""
     assert cfg.engine == "pallas", "geometry sharding needs the Pallas cast"
+    assert not cfg.edge_aware_grads, (
+        "edge_aware_grads gathers full-scene geometry by global wtri; "
+        "incompatible with geometry-sharded rendering (use ray sharding)"
+    )
     import dataclasses
 
     from .render.engine import render_rays

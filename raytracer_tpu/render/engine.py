@@ -351,6 +351,28 @@ def _from_blocks(x, hp, wp):
     return x.reshape(hp, wp, *lead)
 
 
+def spp_jitter_grid(spp: int, width: int, height: int):
+    """Sub-pixel sample pattern for spp > 1 renders.
+
+    Returns ``(offs [spp, 2], shift [H, W, 2])``: per-sample R2
+    low-discrepancy offsets, decorrelated across pixels with a per-pixel
+    toroidal shift (without the shift, every pixel samples the SAME sub-pixel
+    positions, so a straight silhouette edge aliases with the whole pixel grid
+    at once — fatal for edge-aware gradients).  The per-sample jitter is
+    ``(offs[s] + shift) % 1`` — shared by render_frame and the sharded render
+    paths (dist.py) so their spp>1 images agree."""
+    g = 1.32471795724474602596  # plastic constant
+    a1, a2 = 1.0 / g, 1.0 / (g * g)
+    s = jnp.arange(spp, dtype=jnp.float32)
+    offs = jnp.stack([(0.5 + a1 * s) % 1.0, (0.5 + a2 * s) % 1.0], -1)
+    xx = jnp.arange(width, dtype=jnp.float32)[None, :]
+    yy = jnp.arange(height, dtype=jnp.float32)[:, None]
+    shift = jnp.stack(
+        [jnp.broadcast_to((a1 * xx + a2 * yy) % 1.0, (height, width)),
+         jnp.broadcast_to((a2 * xx + a1 * yy) % 1.0, (height, width))], -1)
+    return offs, shift
+
+
 def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig):
     """Render one RGBA float frame [H, W, 4] (values clamped to <= 1 like the
     reference's canvas write).  Pure function of its inputs — jit/grad/shard
@@ -364,25 +386,11 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig):
     cast_fn = make_cast(scene, geom, cfg)
 
     if cfg.spp > 1:
-        # Average spp jittered sub-pixel sample frames: per-sample R2
-        # low-discrepancy offsets, decorrelated across pixels with a per-pixel
-        # toroidal shift (without the shift, every pixel samples the SAME
-        # sub-pixel positions, so a straight silhouette edge aliases with the
-        # whole pixel grid at once — fatal for edge-aware gradients).  The
-        # sample axis is a lax.scan so the whole spp sweep compiles ONE render
-        # body (spp=128 costs one compile, not 128 inlined casts).
-        # (spp=1 renders the reference's exact integer pixel corners.)
-        g = 1.32471795724474602596  # plastic constant
-        a1, a2 = 1.0 / g, 1.0 / (g * g)
-        s = jnp.arange(cfg.spp, dtype=jnp.float32)
-        offs = jnp.stack([(0.5 + a1 * s) % 1.0, (0.5 + a2 * s) % 1.0], -1)
-        xx = jnp.arange(cfg.width, dtype=jnp.float32)[None, :]
-        yy = jnp.arange(cfg.height, dtype=jnp.float32)[:, None]
-        shift = jnp.stack(
-            [jnp.broadcast_to((a1 * xx + a2 * yy) % 1.0,
-                              (cfg.height, cfg.width)),
-             jnp.broadcast_to((a2 * xx + a1 * yy) % 1.0,
-                              (cfg.height, cfg.width))], -1)
+        # Average spp jittered sub-pixel sample frames.  The sample axis is a
+        # lax.scan so the whole spp sweep compiles ONE render body (spp=128
+        # costs one compile, not 128 inlined casts).  (spp=1 renders the
+        # reference's exact integer pixel corners.)
+        offs, shift = spp_jitter_grid(cfg.spp, cfg.width, cfg.height)
 
         def body(acc, off):
             jitter = (off + shift) % 1.0

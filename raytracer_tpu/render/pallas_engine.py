@@ -221,8 +221,17 @@ def _detect_box_meshes(scene: Scene):
     return is_box, ref_mat.astype(jnp.int32), face_tri, face_of
 
 
-def build_tables(scene: Scene, geom: WorldGeometry) -> PallasSceneTables:
-    """Build the VMEM-resident tables from the scene (trace-safe jnp ops)."""
+def build_tables(scene: Scene, geom: WorldGeometry, *, exact_uv: bool = False,
+                 texture_mapping: bool = False) -> PallasSceneTables:
+    """Build the VMEM-resident tables from the scene (trace-safe jnp ops).
+
+    ``exact_uv=True`` disables the box fast path entirely: the fast path
+    reports a fixed uv=(1/3, 1/3) and a per-face representative triangle,
+    which is fine for faceted Phong shading but wrong for any consumer of the
+    true barycentric coordinates (texture sampling, the edge-aware silhouette
+    band, the analytic uv-VJP).  ``texture_mapping=True`` keeps the fast path
+    only for meshes whose triangles are all texture-degenerate (untextured),
+    since textured meshes need interpolated coordinates (ADVICE r2)."""
     n = scene.inst_pos.shape[0]
 
     # Effective instance frame: the composition of Transformation and the mesh's
@@ -272,6 +281,21 @@ def build_tables(scene: Scene, geom: WorldGeometry) -> PallasSceneTables:
     # cube_world.cc:163) so the world-AABB slab IS the local box test;
     # rotated instances fall back to the template scan.
     is_box_m, mat_m, face_tri_m, _ = _detect_box_meshes(scene)
+    if exact_uv:
+        is_box_m = jnp.zeros_like(is_box_m)
+    elif texture_mapping:
+        # a textured box mesh must take the template path for real uv
+        T = scene.tri_v.shape[0]
+        tri_rows = jnp.arange(T, dtype=jnp.int32)
+        starts_m = scene.mesh_tri_start
+        in_mesh = (
+            (tri_rows[None, :] >= starts_m[:, None])
+            & (tri_rows[None, :] < (starts_m + scene.mesh_tri_count)[:, None])
+        )
+        any_tex = jnp.any(
+            in_mesh & ~scene.tri_coord_degenerate[None, :], axis=1
+        )
+        is_box_m = is_box_m & ~any_tex
     ident_rot = (
         (jnp.abs(q[:, 0]) < 1e-6)
         & (jnp.abs(q[:, 1]) < 1e-6)
@@ -376,8 +400,9 @@ def tile_candidates(comps, tile_rows, inst_f32, max_cand):
     tmax = far.min(-1)
     # axes along which the WHOLE tile is parallel (e.g. axis-aligned shadow
     # rays) constrain by origin-interval containment instead — otherwise they
-    # are unconstrained and every instance votes.
-    all_par = (jnp.abs(dlo) < rm.THRESHOLD) & (jnp.abs(dhi) < rm.THRESHOLD)
+    # are unconstrained and every instance votes.  Exact zeros only, matching
+    # _ray_recips / the oracle's ray_aabb (``d == 0`` skip, bounding_box.cu:75).
+    all_par = (dlo == 0.0) & (dhi == 0.0)
     contained = (ohi[:, None] >= bmin[None]) & (olo[:, None] <= bmax[None])
     par_ok = jnp.all(~all_par[:, None] | contained, axis=-1)  # [T,N]
     vote = (tmin <= tmax) & (tmax >= rm.THRESHOLD) & par_ok
@@ -636,10 +661,16 @@ def _write_best(best, outs):
 
 
 def _ray_recips(dx, dy, dz):
-    # Safe reciprocal directions with the reference's skip-parallel semantics.
-    par_x = jnp.abs(dx) < rm.THRESHOLD
-    par_y = jnp.abs(dy) < rm.THRESHOLD
-    par_z = jnp.abs(dz) < rm.THRESHOLD
+    # Safe reciprocal directions with the reference's skip-parallel semantics:
+    # only EXACT zeros count as parallel (bounding_box.cu:75's ``d == 0``
+    # continue) — matching the jnp oracle's ray_aabb — so near-axis-parallel
+    # rays (0 < |d| < eps) keep their true slab arithmetic instead of being
+    # over-culled by the containment term (ADVICE r2).  Axis-aligned shadow
+    # and camera rays have exact zero components, so the containment fix for
+    # them is preserved.
+    par_x = dx == 0.0
+    par_y = dy == 0.0
+    par_z = dz == 0.0
     ix = 1.0 / jnp.where(par_x, 1.0, dx)
     iy = 1.0 / jnp.where(par_y, 1.0, dy)
     iz = 1.0 / jnp.where(par_z, 1.0, dz)
@@ -785,12 +816,7 @@ def _occlude_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     max_t = mt_ref[:]
 
-    par_x = jnp.abs(dx) < rm.THRESHOLD
-    par_y = jnp.abs(dy) < rm.THRESHOLD
-    par_z = jnp.abs(dz) < rm.THRESHOLD
-    ix = 1.0 / jnp.where(par_x, 1.0, dx)
-    iy = 1.0 / jnp.where(par_y, 1.0, dy)
-    iz = 1.0 / jnp.where(par_z, 1.0, dz)
+    (par_x, par_y, par_z), (ix, iy, iz) = _ray_recips(dx, dy, dz)
 
     def body(carry):
         # the blocked mask is carried as i32 (Mosaic cannot yield i1 vectors
@@ -920,7 +946,11 @@ def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
     The returned cast carries an ``occlude(ro, rd, max_t) -> bool`` attribute
     (the any-hit kernel) and, for the BVH path, ``visit_counts(ro, rd)``
     (per-tile node visits, used by the O(log N) scaling test)."""
-    tables = build_tables(scene, geom)
+    tables = build_tables(
+        scene, geom,
+        exact_uv=cfg.edge_aware_grads,
+        texture_mapping=cfg.texture_mapping,
+    )
     n_inst = tables.inst_i32.shape[0]
     max_tris = int(cfg.max_tris_per_mesh)
     tile = tile_rows * LANES

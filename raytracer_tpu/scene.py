@@ -172,8 +172,6 @@ class RenderConfig:
     max_candidates: int = 64  # top-K instances per ray in the culled cast
     max_tris_per_mesh: int = 16  # static upper bound on one mesh's triangle count
     #                              (cube meshes have 12); set by the scene loader
-    fractional_pixels: bool = False  # reference casts through integer pixel corners
-    #                                  (raytracer.cc:49-51); True enables subpixel spp
     spp: int = 1  # samples per pixel; > 1 averages low-discrepancy subpixel
     #               samples (extension over the reference's fixed 1 spp —
     #               BASELINE configs call for 4..128 spp)
@@ -203,6 +201,18 @@ class RenderConfig:
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
+
+
+def scene_render_flags(scene: Scene) -> dict:
+    """Static scene facts for RenderConfig — what the cube-world loader sets
+    for fixture scenes (cube_world.py), exposed for hand-built scenes:
+    ``RenderConfig(**scene_render_flags(scene), ...)``."""
+    counts = np.asarray(scene.mesh_tri_count)
+    return dict(
+        any_reflective=bool(np.any(np.asarray(scene.materials.kr) > 0.0)),
+        any_refractive=bool(np.any(np.asarray(scene.materials.kt) > 0.0)),
+        max_tris_per_mesh=int(counts.max()) if counts.size else 1,
+    )
 
 
 def device_scene(scene: Scene) -> Scene:

@@ -36,6 +36,27 @@ def test_sharded_render_matches_single(world1):
     np.testing.assert_allclose(single, sharded, rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_render_spp_matches_single(world1):
+    """spp > 1 must run the SAME jitter sweep in the sharded path as
+    render_frame (ADVICE r2 #2: it used to be silently ignored)."""
+    from raytracer_tpu.builder import scale_camera
+
+    w, scene, cam = world1
+    cam = jax.tree_util.tree_map(
+        jnp.asarray, scale_camera(w.camera, 64, w.config.width)
+    )  # full FOV at 64x64 so the scene is actually visible
+    cfg = w.config.replace(width=64, height=64, use_bvh=False, spp=3)
+    single = np.asarray(render_frame(scene, cam, cfg))
+    cfg1 = cfg.replace(spp=1)
+    single1 = np.asarray(render_frame(scene, cam, cfg1))
+    assert np.abs(single - single1).max() > 1e-6  # spp actually jitters
+
+    mesh = dist.make_mesh()
+    run = dist.make_sharded_render(scene, cam, cfg, mesh)
+    sharded = np.asarray(run())
+    np.testing.assert_allclose(single, sharded, rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_train_step(world1):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
