@@ -24,7 +24,14 @@ from .scene import Camera, RenderConfig, Scene
 
 
 def debug_cast(scene: Scene, camera: Camera, cfg: RenderConfig, x: int, y: int):
-    """Trace pixel (x, y) verbosely; returns a list of per-bounce records."""
+    """Trace pixel (x, y) verbosely.
+
+    Returns ``(records, color)``: per-bounce records plus the accumulated
+    (clamped) pixel color.  The recursion here is INDEPENDENT of the
+    wavefront engine (an explicit per-ray tree walk like the reference's
+    propagate_helper, scene.cu:222-268), so tests use it as a second opinion
+    on the queue disciplines — notably the mixed reflect+refract compacted
+    stream, which spawns both children per hit exactly like this walk."""
     geom = expand_geometry(scene)
     cast = make_cast(scene, geom, cfg)
     ro, rd = camera_rays(camera, cfg.width, cfg.height)
@@ -103,5 +110,6 @@ def debug_cast(scene: Scene, camera: Camera, cfg: RenderConfig, x: int, y: int):
                             in_obj=~it["in_obj"],
                             active=hit.valid & ~tir, kind="refraction"))
         items = nxt
-    print(f"pixel ({x}, {y}) final color: {np.minimum(total, 1.0)}")
-    return records
+    color = np.minimum(total, 1.0)
+    print(f"pixel ({x}, {y}) final color: {color}")
+    return records, color

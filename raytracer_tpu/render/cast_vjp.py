@@ -68,6 +68,121 @@ def detach_visibility(cast_fn: CastFn) -> CastFn:
     return cast
 
 
+def reparam_cast(cast_fn: CastFn, geom):
+    """Full local-derivative rule for Pallas casts (the vertex-gradient
+    configuration, BASELINE stage 5).
+
+    The hit *identity* (wtri, validity, material) stays frozen — exactly the
+    detached-visibility convention — but every continuous output gets its
+    exact local derivative with respect to the ray AND the hit triangle's
+    geometry:
+
+        t(o, d, a, b, c)          plane-hit time,  n = (b-a) x (c-a)
+        u, v (o, d, a, b, c)      signed barycentrics of p = o + t d
+        normal(u, v, na, nb, nc)  normalized vertex-normal blend
+
+    The backward pass re-derives these in closed form at the hit (a few
+    elementwise ops on gathered [R,3] rows — no differentiation through the
+    kernel) and pulls the cotangents back with ``jax.vjp`` of the
+    reconstruction, so the derivative is *definitionally consistent* with the
+    jnp oracle cast's autodiff wherever the hit is locally smooth.  Vertex
+    cotangents scatter-add back into the [W,3] world-triangle arrays, which
+    the caller passes explicitly (they are traced values derived from
+    ``scene.verts`` via expand_geometry, so ``jax.grad`` reaches vertex
+    positions through the production engine).
+
+    Returns a CastFn-shaped closure over ``geom``'s triangle arrays."""
+    from .. import raymath as _rm
+
+    rm_normalize = _rm.normalize
+    THRESH = _rm.THRESHOLD
+    W = geom.a.shape[0]
+    has_normals = geom.na is not None
+
+    def _recon(ro, rd, va, vb, vc, na, nb, nc):
+        """Closed-form (t, uv, normal) of the plane hit — all inputs [R,3]."""
+        n = jnp.cross(vb - va, vc - va)
+        nd = jnp.sum(n * rd, axis=-1)
+        denom = jnp.where(jnp.abs(nd) > 0, nd, 1.0)
+        t = jnp.sum(n * (va - ro), axis=-1) / denom
+        p = ro + t[..., None] * rd
+        nn2 = jnp.maximum(jnp.sum(n * n, axis=-1), 1e-30)
+        u = jnp.sum(jnp.cross(p - va, vc - va) * n, axis=-1) / nn2
+        v = jnp.sum(jnp.cross(vb - va, p - va) * n, axis=-1) / nn2
+        uv = jnp.stack([u, v], axis=-1)
+        sn = (1.0 - u - v)[..., None] * na + u[..., None] * nb \
+            + v[..., None] * nc
+        return t, uv, rm_normalize(sn)
+
+    @jax.custom_vjp
+    def cast(ro, rd, a, b, c, na, nb, nc):
+        return cast_fn(ro, rd)
+
+    def fwd(ro, rd, a, b, c, na, nb, nc):
+        hit = cast_fn(ro, rd)
+        w = hit.wtri
+        res = (ro, rd, hit.valid, w, a[w], b[w], c[w],
+               na[w] if has_normals else jnp.zeros_like(a[w]),
+               nb[w] if has_normals else jnp.zeros_like(a[w]),
+               nc[w] if has_normals else jnp.zeros_like(a[w]))
+        return hit, res
+
+    def bwd(res, g):
+        ro, rd, valid, w, va, vb, vc, na, nb, nc = res
+        # Guard lanes where the reconstruction is singular (miss, grazing
+        # plane, degenerate triangle): sanitize their inputs to a benign
+        # unit-triangle hit so the vjp trace stays NaN-free, and zero their
+        # cotangents so they contribute nothing.
+        n = jnp.cross(vb - va, vc - va)
+        nd = jnp.sum(n * rd, axis=-1)
+        nn2 = jnp.sum(n * n, axis=-1)
+        ok = valid & (jnp.abs(nd) >= THRESH) & (nn2 > 1e-20)
+        okv = ok[..., None]
+        ro_s = jnp.where(okv, ro, jnp.array([0.0, 0.0, -1.0]))
+        rd_s = jnp.where(okv, rd, jnp.array([0.0, 0.0, 1.0]))
+        va_s = jnp.where(okv, va, jnp.array([-1.0, -1.0, 0.0]))
+        vb_s = jnp.where(okv, vb, jnp.array([3.0, -1.0, 0.0]))
+        vc_s = jnp.where(okv, vc, jnp.array([-1.0, 3.0, 0.0]))
+        z_up = jnp.array([0.0, 0.0, 1.0])
+        na_s = jnp.where(okv, na, z_up)
+        nb_s = jnp.where(okv, nb, z_up)
+        nc_s = jnp.where(okv, nc, z_up)
+
+        def _cot(x, shape):
+            if x is None or getattr(x, "dtype", None) is None \
+                    or x.dtype == jax.dtypes.float0:
+                return jnp.zeros(shape, jnp.float32)
+            return x
+
+        g_t = jnp.where(ok, _cot(getattr(g, "t", None), ok.shape), 0.0)
+        g_uv = jnp.where(okv, _cot(getattr(g, "uv", None),
+                                   ok.shape + (2,)), 0.0)
+        g_n = jnp.where(okv, _cot(getattr(g, "normal", None),
+                                  ok.shape + (3,)), 0.0)
+
+        _, pull = jax.vjp(_recon, ro_s, rd_s, va_s, vb_s, vc_s,
+                          na_s, nb_s, nc_s)
+        d_ro, d_rd, d_va, d_vb, d_vc, d_na, d_nb, d_nc = pull(
+            (g_t, g_uv, g_n)
+        )
+
+        def scat(dv):
+            return jnp.zeros((W, 3), jnp.float32).at[w].add(
+                jnp.where(okv, dv, 0.0)
+            )
+
+        return (d_ro, d_rd, scat(d_va), scat(d_vb), scat(d_vc),
+                scat(d_na), scat(d_nb), scat(d_nc))
+
+    cast.defvjp(fwd, bwd)
+
+    def bound(ro, rd):
+        return cast(ro, rd, geom.a, geom.b, geom.c,
+                    geom.na, geom.nb, geom.nc)
+
+    return bound
+
+
 def detach_occlusion(occl_fn):
     """Wrap an any-hit query so autodiff treats its boolean as a constant
     (occlusion is piecewise-constant anyway; without the wrapper, jvp tracing

@@ -189,8 +189,11 @@ class RenderConfig:
     edge_aware_grads: bool = False  # backward-only mollified silhouette
     #               visibility: forward images are bit-identical, but autodiff
     #               additionally carries boundary terms so gradients flow to
-    #               vertex positions / camera pose through silhouettes (needs a
-    #               differentiable cast, i.e. the jnp engine)
+    #               vertex positions / camera pose through silhouettes.  Works
+    #               on both engines: jnp differentiates the cast directly;
+    #               pallas uses the analytic (t, uv, normal)-VJP
+    #               (cast_vjp.reparam_cast) with the box fast path disabled
+    #               (real barycentrics required)
     edge_eps: float = 0.05  # mollifier width in barycentric units (fallback
     #               used when no pixel footprint is available, e.g. raw
     #               render_rays batches)
