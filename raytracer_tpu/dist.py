@@ -136,7 +136,9 @@ def make_sharded_render(scene, camera, cfg, mesh: Mesh,
 
             offs, shift = spp_jitter_grid(cfg_.spp, cfg_.width, cfg_.height)
             acc, _ = jax.lax.scan(
-                lambda a, off: (a + one((off + shift) % 1.0), None),
+                jax.checkpoint(  # O(1) memory in spp under reverse mode
+                    lambda a, off: (a + one((off + shift) % 1.0), None)
+                ),
                 jnp.zeros((hp, cfg_.width, 4), jnp.float32), offs,
             )
             return acc / cfg_.spp

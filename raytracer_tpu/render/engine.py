@@ -413,6 +413,11 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig):
             img = _render_one(scene, geom, cast_fn, camera, cfg, jitter)
             return acc + img, None
 
+        # Rematerialize each sample in reverse mode: without this, backward
+        # through the scan stores every sample's full wavefront residuals
+        # (64 spp x 1080p blows HBM); with it, memory is O(1) in spp at 2x
+        # sample-forward compute — the jax.checkpoint recipe for long scans.
+        body = jax.checkpoint(body)
         acc, _ = jax.lax.scan(
             body, jnp.zeros((cfg.height, cfg.width, 4), jnp.float32), offs
         )

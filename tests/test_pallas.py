@@ -183,6 +183,64 @@ def test_occlude_matches_closest_hit(world8):
     assert (want == got).all()
 
 
+def test_bvh_occlude_matches_closest_hit():
+    """The BVH-walk occlusion kernel (shadows at scale, O(log N) per
+    occluder) must agree with ``valid & t <= max_t`` of the closest-hit cast
+    — on a synthetic world large enough that the walk path is the production
+    choice, with random incoherent shadow-style rays."""
+    from raytracer_tpu.scene import device_scene
+    from raytracer_tpu.synth import make_big_world
+
+    scene, cam, cfg = make_big_world(300)
+    scene = device_scene(scene)
+    cfg = cfg.replace(pallas_traversal="bvh")
+    geom = expand_geometry(scene)
+    cast = pe.make_pallas_cast(scene, geom, cfg)
+
+    cam = jax.tree_util.tree_map(jnp.asarray, cam)
+    ro, rd = camera_rays(cam, 64, 64)
+    ro = ro.reshape(-1, 3)
+    rd = rd.reshape(-1, 3)
+    hit = cast(ro, rd)
+    t_fin = jnp.where(hit.valid, hit.t, jnp.inf)
+    for max_t in (5.0, jnp.inf):
+        want = np.asarray(hit.valid & (t_fin <= max_t))
+        got = np.asarray(cast.occlude(ro, rd, jnp.float32(max_t)))
+        assert (want == got).all(), f"max_t={max_t}"
+
+    rng = np.random.RandomState(11)
+    o = jnp.asarray(rng.uniform(-12, 12, (1024, 3)).astype(np.float32))
+    d = rng.randn(1024, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    mt = jnp.asarray(rng.uniform(0.5, 30.0, (1024,)).astype(np.float32))
+    hit = cast(o, d)
+    t_fin = jnp.where(hit.valid, hit.t, jnp.inf)
+    want = np.asarray(hit.valid & (t_fin <= mt))
+    got = np.asarray(cast.occlude(o, d, mt))
+    assert (want == got).all()
+
+
+def test_bvh_render_matches_cull_big_world():
+    """End-to-end render of the at-scale synthetic world: the BVH traversal
+    (cast + the new occlusion walk, exercised via the shadow fast path) must
+    reproduce the candidate-cull image."""
+    from raytracer_tpu.render.engine import render_frame
+    from raytracer_tpu.scene import device_scene
+    from raytracer_tpu.synth import make_big_world
+
+    scene, cam, cfg = make_big_world(300)
+    scene = device_scene(scene)
+    cam = jax.tree_util.tree_map(jnp.asarray, cam)
+    cfg = cfg.replace(width=96, height=72, engine="pallas",
+                      pallas_kernel="scalar")
+    assert not cfg.any_refractive  # shadow march uses the occlude fast path
+    img_cull = np.asarray(render_frame(scene, cam,
+                                       cfg.replace(pallas_traversal="cull")))
+    img_bvh = np.asarray(render_frame(scene, cam,
+                                      cfg.replace(pallas_traversal="bvh")))
+    np.testing.assert_allclose(img_bvh, img_cull, rtol=1e-5, atol=1e-5)
+
+
 def test_box_detection_world8(world8):
     """Both cube-world meshes must be detected as boxes (build_cube layout,
     scene_builder.cu:181-239); a perturbed copy must not."""
