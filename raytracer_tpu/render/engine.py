@@ -425,6 +425,31 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig):
     return _render_one(scene, geom, cast_fn, camera, cfg, None)
 
 
+def render_frame_sum(scene: Scene, camera: Camera, cfg: RenderConfig, offs):
+    """SUM of jittered sample frames for an explicit offset batch [k, 2].
+
+    The microbatch building block for spp gradient accumulation: chunking the
+    spp axis over host-level calls keeps each device program bounded (a
+    1080p x 64 spp fwd+bwd in ONE program runs minutes and can trip the
+    runtime watchdog).  ``render_frame(cfg.spp=n)`` ==
+    ``sum(render_frame_sum over spp_jitter_grid chunks) / n`` exactly —
+    same per-sample clamp, same per-pixel decorrelation shift."""
+    geom = expand_geometry(scene)
+    cast_fn = make_cast(scene, geom, cfg)
+    _, shift = spp_jitter_grid(2, cfg.width, cfg.height)
+
+    def body(acc, off):
+        jitter = (off + shift) % 1.0
+        img = _render_one(scene, geom, cast_fn, camera, cfg, jitter)
+        return acc + img, None
+
+    body = jax.checkpoint(body)
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((cfg.height, cfg.width, 4), jnp.float32), offs
+    )
+    return acc
+
+
 def _render_one(scene, geom, cast_fn, camera, cfg, jitter):
     ray_o, ray_d = camera_rays(camera, cfg.width, cfg.height, jitter=jitter)
 

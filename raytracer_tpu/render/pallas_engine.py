@@ -1026,7 +1026,7 @@ def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
     max_tris = int(cfg.max_tris_per_mesh)
     tile = tile_rows * LANES
     use_walk = cfg.pallas_traversal == "bvh" or (
-        cfg.pallas_traversal == "auto" and n_inst > 2048
+        cfg.pallas_traversal == "auto" and n_inst > 256
     )
 
     kernel = functools.partial(_cast_kernel, n_inst=n_inst, max_tris=max_tris)

@@ -134,9 +134,14 @@ def _mxu_kernel(info_ref,
         """Intersect the ray tile against K columns; masked best-per-ray.
         Table operands are ``[8, K]`` so each product is a plain MXU matmul."""
         def mat(x, y):  # [tile, 8] @ [8, K] -> [tile, K]
+            # HIGHEST: full-f32 MXU passes.  With the default (bf16 input
+            # rounding) ~0.2% of hit/miss decisions flip at triangle edges
+            # on-chip vs the f32 oracle — caught by bench.py's cross-engine
+            # consistency gate; interpret mode never sees it.
             return jax.lax.dot_general(
                 x, y, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
         wa = mat(rd6, ea)

@@ -119,3 +119,62 @@ def test_culled_fallback_covers_all_unresolved_rays():
     np.testing.assert_allclose(np.asarray(culled.t), np.asarray(brute.t),
                                rtol=1e-5, atol=1e-5)
     assert (np.asarray(culled.wtri) == np.asarray(brute.wtri)).all()
+
+
+def test_chunked_spp_matches_monolithic_forward_and_grad():
+    """render_frame(spp=4) must equal sum(render_frame_sum over 2-sample
+    chunks)/4 exactly, and the two-pass chunked vjp (bench.py's heavy-spp
+    gradient accumulation) must reproduce the monolithic loss gradient —
+    same jitter grid, same per-sample clamp, same cotangents."""
+    import dataclasses
+
+    from raytracer_tpu import diff
+    from raytracer_tpu.render.engine import render_frame_sum, spp_jitter_grid
+
+    w = generate("/root/reference/world1.json")
+    scene = device_scene(w.scene)
+    cam = jax.tree_util.tree_map(jnp.asarray, w.camera)
+    cfg = w.config.replace(width=48, height=32, spp=4, early_exit=False)
+
+    img_mono = render_frame(scene, cam, cfg)
+
+    offs, _ = spp_jitter_grid(4, cfg.width, cfg.height)
+    cfg1 = cfg.replace(spp=1)
+    acc = jnp.zeros_like(img_mono)
+    for i in range(0, 4, 2):
+        acc = acc + render_frame_sum(scene, cam, cfg1, offs[i:i + 2])
+    np.testing.assert_allclose(np.asarray(img_mono), np.asarray(acc) / 4.0,
+                               rtol=0, atol=1e-6)
+
+    params = diff.trainable_params(scene, cam, include_camera=False)
+    target = jnp.zeros_like(img_mono)
+
+    def loss_mono(p):
+        return diff.l2_image_loss(
+            diff.render_with_params(scene, cam, cfg, p), target
+        )
+
+    g_mono = jax.grad(loss_mono)(params)
+
+    def render_chunk(p, oc):
+        s, c = diff.merge_params(scene, cam, p)
+        return render_frame_sum(s, c, cfg1, oc)
+
+    acc = jnp.zeros_like(img_mono)
+    for i in range(0, 4, 2):
+        acc = acc + render_chunk(params, offs[i:i + 2])
+    img = acc / 4.0
+    g_img = 2.0 * (img - target) / (img.size * 4.0)
+    g_chunk = None
+    for i in range(0, 4, 2):
+        _, pull = jax.vjp(lambda p: render_chunk(p, offs[i:i + 2]), params)
+        g = pull(g_img)[0]
+        g_chunk = g if g_chunk is None else jax.tree_util.tree_map(
+            jnp.add, g_chunk, g
+        )
+
+    flat_m = jax.tree_util.tree_leaves(g_mono)
+    flat_c = jax.tree_util.tree_leaves(g_chunk)
+    for m, c in zip(flat_m, flat_c):
+        np.testing.assert_allclose(np.asarray(m), np.asarray(c),
+                                   rtol=1e-4, atol=1e-7)
