@@ -53,6 +53,9 @@ def trans_attenuation(kt, time):
     return _rm.safe_pow(jnp.maximum(time, 0.0)[..., None], kt)
 
 
+TILE_LANES = 1024  # rays per cast tile (= BLOCK*BLOCK = tile_rows*LANES)
+
+
 def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConfig,
              ray_o, ray_d, pixel_angle=None):
     """Accumulated RGBA radiance for a flat batch of primary rays [R, 3].
@@ -63,7 +66,64 @@ def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConf
 
     Returns ``(acc [R,4], dropped)`` where ``dropped`` counts spawned children
     that exceeded queue capacity (0 for every fixture world; raise
-    ``cfg.queue_factor`` if nonzero)."""
+    ``cfg.queue_factor`` if nonzero).
+
+    ``cfg.wavefront_tile_cap`` > 0 selects the TILE-COMPACTED queue
+    discipline (the "sorted stream" formulation): a visibility pre-cast finds
+    the tiles containing any hit, the whole shading/shadow/bounce pipeline
+    runs on only those tiles (capped at ``ceil(T * cap)``), and one hinted
+    scatter-add maps contributions back.  Pays when the hit set is sparse —
+    world1's single small cube occupies ~4 of 300 tiles, so every per-round
+    full-frame pass (march glue, spawn math, parked casts) shrinks ~30x.
+    Whole tiles keep their 1024 rays together, preserving the coherence the
+    cast's tile votes rely on; hits in tiles beyond the cap are counted in
+    ``dropped`` (0 on every tested world at the shipped caps)."""
+    cap = cfg.wavefront_tile_cap
+    if cap > 0.0 and ray_o.shape[0] % TILE_LANES == 0:
+        T = ray_o.shape[0] // TILE_LANES
+        Ct = max(1, int(-(-T * cap // 1)))  # ceil(T * cap)
+        if Ct < T:
+            return _radiance_tile_compacted(
+                scene, geom, cast_fn, cfg, ray_o, ray_d, Ct, pixel_angle
+            )
+    return _radiance_dense(scene, geom, cast_fn, cfg, ray_o, ray_d,
+                           pixel_angle)
+
+
+def _radiance_tile_compacted(scene, geom, cast_fn, cfg, ray_o, ray_d, Ct,
+                             pixel_angle):
+    R = ray_o.shape[0]
+    T = R // TILE_LANES
+    # Visibility-only pre-cast: which tiles contain any hit.  stop_gradient —
+    # the differentiable cast of the kept lanes happens inside the rounds.
+    pre = cast_fn(jax.lax.stop_gradient(ray_o), jax.lax.stop_gradient(ray_d))
+    valid_t = pre.valid.reshape(T, TILE_LANES)
+    tile_hits = jnp.sum(valid_t, axis=-1)
+    # Active tiles first (stable -> ascending ids within each group), then
+    # re-sort the kept ids so gather/scatter run with sorted-unique hints.
+    keep_t = jnp.sort(jnp.argsort(tile_hits == 0, stable=True)[:Ct])
+    kept = jnp.zeros((T,), bool).at[keep_t].set(True)
+    dropped_hits = jnp.sum(tile_hits) - jnp.sum(
+        jnp.where(kept, tile_hits, 0)
+    )
+    lane = (keep_t[:, None] * TILE_LANES
+            + jnp.arange(TILE_LANES, dtype=keep_t.dtype)[None, :]).reshape(-1)
+
+    def take(x):
+        return jnp.take(x, lane, axis=0, unique_indices=True,
+                        indices_are_sorted=True, mode='fill', fill_value=0.0)
+
+    acc_c, dropped = _radiance_dense(
+        scene, geom, cast_fn, cfg, take(ray_o), take(ray_d), pixel_angle
+    )
+    acc = jnp.zeros((R, 4), acc_c.dtype).at[lane].add(
+        acc_c, unique_indices=True, indices_are_sorted=True, mode='drop'
+    )
+    return acc, dropped + dropped_hits.astype(jnp.int32)
+
+
+def _radiance_dense(scene: Scene, geom: WorldGeometry, cast_fn: CastFn,
+                    cfg: RenderConfig, ray_o, ray_d, pixel_angle=None):
     mats = scene.materials
     R = ray_o.shape[0]
     C = int(R * cfg.queue_factor)

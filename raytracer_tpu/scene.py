@@ -201,6 +201,12 @@ class RenderConfig:
     #               pixel footprint is known (render_frame passes the camera's
     #               pixel angle); keeps foreshortened silhouette faces'
     #               bands resolvable by the sample grid
+    wavefront_tile_cap: float = 0.0  # > 0 selects the tile-compacted queue
+    #               discipline: shading/shadow/bounce rounds run on only the
+    #               ceil(T * cap) ray tiles containing hits (engine.py
+    #               _radiance_tile_compacted).  Pays when the hit set is
+    #               sparse (world1's lone cube: ~4/300 tiles); hits beyond
+    #               the cap are dropped AND counted.  0 = dense rounds.
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -178,3 +178,83 @@ def test_chunked_spp_matches_monolithic_forward_and_grad():
     for m, c in zip(flat_m, flat_c):
         np.testing.assert_allclose(np.asarray(m), np.asarray(c),
                                    rtol=1e-4, atol=1e-7)
+
+
+class TestTileCompactedQueue:
+    """The tile-compacted queue discipline (cfg.wavefront_tile_cap) must be a
+    pure optimization: bit-identical frames, correct drop accounting, and
+    unchanged gradients."""
+
+    def _world1(self, engine, **over):
+        from raytracer_tpu.builder import scale_camera
+
+        w = generate("/root/reference/world1.json")
+        scene = device_scene(w.scene)
+        cam = jax.tree_util.tree_map(
+            jnp.asarray, scale_camera(w.camera, 160, w.config.width)
+        )
+        cfg = w.config.replace(width=160, height=128, engine=engine, **over)
+        return scene, cam, cfg
+
+    @pytest.mark.parametrize("engine", ["jnp", "pallas"])
+    def test_matches_dense(self, engine):
+        scene, cam, cfg = self._world1(engine)
+        a = np.asarray(render_frame(scene, cam, cfg))
+        b = np.asarray(render_frame(
+            scene, cam, cfg.replace(wavefront_tile_cap=0.3)
+        ))
+        assert (a[..., :3].sum(-1) > 1e-6).sum() > 50  # cube in frame
+        np.testing.assert_array_equal(a, b)
+
+    def test_drop_accounting(self):
+        # world8 fills most tiles with hits; a 1-tile cap must drop the rest
+        # and count them.
+        from raytracer_tpu.render.engine import (_to_blocks, make_cast,
+                                                 radiance)
+        from raytracer_tpu.render.geometry import camera_rays, expand_geometry
+
+        w = generate("/root/reference/world8.json")
+        scene = device_scene(w.scene)
+        cam = jax.tree_util.tree_map(jnp.asarray, w.camera)
+        cfg = w.config.replace(width=128, height=96)
+        geom = expand_geometry(scene)
+        cast = make_cast(scene, geom, cfg)
+        ro, rd = camera_rays(cam, 128, 96)
+        ro_b = _to_blocks(ro, 96, 128).reshape(-1, 3)
+        rd_b = _to_blocks(rd, 96, 128).reshape(-1, 3)
+        hit = cast(ro_b, rd_b)
+        n_hits = int(jnp.sum(hit.valid))
+        assert n_hits > 1024  # hits span several tiles
+
+        acc, dropped = radiance(
+            scene, geom, cast, cfg.replace(wavefront_tile_cap=1e-9),
+            ro_b, rd_b,
+        )
+        assert int(dropped) > 0
+        acc_d, dropped_d = radiance(scene, geom, cast, cfg, ro_b, rd_b)
+        assert int(dropped_d) == 0
+        # a 1-tile cap keeps the FIRST tile containing hits (actives-first
+        # stable sort by tile id); everything else is dropped and counted
+        tile_hits = np.asarray(jnp.sum(hit.valid.reshape(-1, 1024), axis=-1))
+        first_active = tile_hits[np.nonzero(tile_hits)[0][0]]
+        assert int(dropped) == n_hits - int(first_active)
+
+    def test_gradients_match_dense(self):
+        from raytracer_tpu import diff
+
+        scene, cam, cfg = self._world1("jnp")
+        cfg = cfg.replace(early_exit=False)
+        params = diff.trainable_params(scene, cam, include_camera=False)
+        target = jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
+
+        def loss(p, c):
+            return diff.l2_image_loss(
+                diff.render_with_params(scene, cam, c, p), target
+            )
+
+        g0 = jax.grad(loss)(params, cfg)
+        g1 = jax.grad(loss)(params, cfg.replace(wavefront_tile_cap=0.3))
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-8)
