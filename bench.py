@@ -148,8 +148,12 @@ def bench_synth_big(n_instances=4096, traversal="bvh", iters=5):
     return _loop_time_ms(frame, camera.pos, iters=iters)
 
 
-def bench_mixed(iters=5):
-    """The compacted 2x-stream wavefront (both child types live) at 640x480."""
+def bench_mixed(iters=5, child_tile_cap=0.0):
+    """The compacted 2x-stream wavefront (both child types live) at 640x480.
+
+    ``child_tile_cap`` > 0 selects the tile-granular child-queue compaction
+    (bit-identical images; the per-lane argsort + full-length gathers +
+    full-R scatter per round collapse to a few capped tiles)."""
     import dataclasses
 
     import jax
@@ -168,7 +172,7 @@ def bench_mixed(iters=5):
     )
     cfg = cfg.replace(width=640, height=480,
                       engine="pallas" if on_accel else "jnp",
-                      pallas_kernel="scalar")
+                      pallas_kernel="scalar", child_tile_cap=child_tile_cap)
 
     def frame(cam_pos):
         c = dataclasses.replace(camera, pos=cam_pos)
@@ -252,7 +256,10 @@ def bench_fwd_bwd_chunked(config_path: str, width=1920, height=1080, spp=64,
 
     def render_chunk(p, offs_c):
         s, c = diff.merge_params(scene, camera, p)
-        return render_frame_sum(s, c, cfg, offs_c)
+        # remat=False: backward memory is bounded by spp_chunk instead (the
+        # per-sample checkpoint cannot stage on TPU when the body nests the
+        # bounce loop around pallas custom_vjp casts — see render_frame_sum).
+        return render_frame_sum(s, c, cfg, offs_c, remat=False)
 
     fwd = jax.jit(render_chunk)
 
@@ -399,8 +406,11 @@ def _item_world16_1080p_spp64_bwd():
 
 
 def _item_world8_stress_1080p_spp128():
+    # spp_chunk=2: the reflective bounce rounds make this world's backward
+    # program ~3x world16's per sample; chunks >= 4 overflow the TPU
+    # compiler (remote_compile HTTP 500), 2 compiles and runs.
     ms, mrays = bench_fwd_bwd_chunked(
-        "/root/reference/world8_stress.json", spp=128, spp_chunk=8,
+        "/root/reference/world8_stress.json", spp=128, spp_chunk=2,
     )
     return {"world8_stress_1080p_spp128_fwdbwd_ms": round(ms, 3),
             "world8_stress_1080p_spp128_mrays": round(mrays, 3)}
@@ -429,8 +439,12 @@ def _item_synth4096_bvh():
 
 
 def _item_mixed_world():
-    ms, _ = bench_mixed()
-    return {"mixed_world_ms": round(ms, 3)}
+    # Tile-granular child compaction (1/8 of tiles): the two spawning cubes
+    # cover a handful of tiles, so per-round queue maintenance shrinks ~30x.
+    ms, _ = bench_mixed(child_tile_cap=1.0 / 8.0)
+    dms, _ = bench_mixed()
+    return {"mixed_world_ms": round(ms, 3),
+            "mixed_world_dense_ms": round(dms, 3)}
 
 
 def _item_consistency():

@@ -299,10 +299,47 @@ def _radiance_dense(scene: Scene, geom: WorldGeometry, cast_fn: CastFn,
     # scatter (the cast parks inactive lanes, so dead tiles stay cheap).
     aligned = cfg.any_reflective != cfg.any_refractive
 
+    # Mixed-stream worlds optionally compact the child queue at TILE
+    # granularity instead of the per-lane argsort: children inherit their
+    # parent's slot, so the concatenated reflect+refract streams keep the
+    # parents' 1024-lane tile structure — keeping whole tiles containing any
+    # active child costs one tiny tile-count sort plus sorted-unique-hinted
+    # gathers, where the per-lane path pays a 2R argsort + 8 full-length
+    # row gathers (~5.5 us per 1k rows on v5e) every round.  Same drop
+    # accounting; capacity = ceil(T * child_tile_cap) tiles.
+    tile_children = (cfg.child_tile_cap > 0.0 and not aligned
+                     and R % TILE_LANES == 0)
+    if tile_children:
+        T0 = R // TILE_LANES
+        Ct = min(max(1, int(-(-T0 * cfg.child_tile_cap // 1))), 2 * T0)
+
+    def compact_tiles(children):
+        """Keep the first Ct whole tiles containing any active child."""
+        act = children["active"].reshape(-1, TILE_LANES)
+        tile_any = jnp.any(act, axis=-1)
+        keep_t = jnp.sort(jnp.argsort(~tile_any, stable=True)[:Ct])
+        lane = (keep_t[:, None] * TILE_LANES
+                + jnp.arange(TILE_LANES, dtype=keep_t.dtype)[None, :]
+                ).reshape(-1)
+
+        def take(x):
+            return jnp.take(x, lane, axis=0, unique_indices=True,
+                            indices_are_sorted=True, mode='fill',
+                            fill_value=0)
+
+        st = {k: take(v) for k, v in children.items()}
+        st["d"] = jnp.where(st["active"][:, None], st["d"],
+                            jnp.array([0.0, 0.0, 1.0]))
+        dropped = jnp.sum(children["active"]) - jnp.sum(st["active"])
+        return st, dropped
+
     if aligned:
         state = dict(children0)
         state["d"] = jnp.where(state["active"][:, None], state["d"],
                                jnp.array([0.0, 0.0, 1.0]))
+    elif tile_children:
+        state, d0 = compact_tiles(children0)
+        dropped0 = dropped0 + d0
     else:
         state, d0 = compact(children0, C)
         dropped0 = dropped0 + d0
@@ -316,6 +353,9 @@ def _radiance_dense(scene: Scene, geom: WorldGeometry, cast_fn: CastFn,
             st2["d"] = jnp.where(st2["active"][:, None], st2["d"],
                                  jnp.array([0.0, 0.0, 1.0]))
             dn = jnp.zeros((), jnp.int32)
+        elif tile_children:
+            acc = acc.at[st["pixel"]].add(contrib, mode="drop")
+            st2, dn = compact_tiles(children)
         else:
             acc = acc.at[st["pixel"]].add(contrib, mode="drop")
             st2, dn = compact(children, C)
@@ -485,7 +525,8 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig):
     return _render_one(scene, geom, cast_fn, camera, cfg, None)
 
 
-def render_frame_sum(scene: Scene, camera: Camera, cfg: RenderConfig, offs):
+def render_frame_sum(scene: Scene, camera: Camera, cfg: RenderConfig, offs,
+                     remat: bool = True):
     """SUM of jittered sample frames for an explicit offset batch [k, 2].
 
     The microbatch building block for spp gradient accumulation: chunking the
@@ -493,7 +534,13 @@ def render_frame_sum(scene: Scene, camera: Camera, cfg: RenderConfig, offs):
     1080p x 64 spp fwd+bwd in ONE program runs minutes and can trip the
     runtime watchdog).  ``render_frame(cfg.spp=n)`` ==
     ``sum(render_frame_sum over spp_jitter_grid chunks) / n`` exactly —
-    same per-sample clamp, same per-pixel decorrelation shift."""
+    same per-sample clamp, same per-pixel decorrelation shift.
+
+    ``remat=False`` skips the per-sample jax.checkpoint: on TPU, remat of a
+    body that nests the bounce fori_loop around pallas custom_vjp casts
+    fails to stage ("No constant handler for DynamicJaxprTracer", any
+    policy/prevent_cse setting; the jnp/interpret path is unaffected) —
+    chunked callers bound backward memory by the chunk size instead."""
     geom = expand_geometry(scene)
     cast_fn = make_cast(scene, geom, cfg)
     _, shift = spp_jitter_grid(2, cfg.width, cfg.height)
@@ -503,7 +550,8 @@ def render_frame_sum(scene: Scene, camera: Camera, cfg: RenderConfig, offs):
         img = _render_one(scene, geom, cast_fn, camera, cfg, jitter)
         return acc + img, None
 
-    body = jax.checkpoint(body)
+    if remat:
+        body = jax.checkpoint(body)
     acc, _ = jax.lax.scan(
         body, jnp.zeros((cfg.height, cfg.width, 4), jnp.float32), offs
     )

@@ -207,6 +207,13 @@ class RenderConfig:
     #               _radiance_tile_compacted).  Pays when the hit set is
     #               sparse (world1's lone cube: ~4/300 tiles); hits beyond
     #               the cap are dropped AND counted.  0 = dense rounds.
+    child_tile_cap: float = 0.0  # > 0: the mixed-stream (reflect AND refract)
+    #               child queue compacts at TILE granularity — keep the first
+    #               ceil(T * cap) whole 1024-lane tiles containing any active
+    #               child — instead of the per-lane argsort compaction.
+    #               Children inherit parent slots, so tiles stay coherent;
+    #               overflowing children are dropped AND counted.  0 = the
+    #               per-lane compacted queue (exact capacity R*queue_factor).
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

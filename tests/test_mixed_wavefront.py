@@ -129,3 +129,39 @@ def test_mixed_grads_flow(mixed):
         assert np.isfinite(np.asarray(leaf)).all()
     assert float(jnp.abs(g.kr).sum()) > 0.0
     assert float(jnp.abs(g.kt).sum()) > 0.0
+
+
+def test_child_tile_cap_matches_dense_and_accounts_drops(mixed):
+    """The tile-granular child-queue compaction (cfg.child_tile_cap) must
+    reproduce the per-lane compacted queue bit-for-bit at ample capacity and
+    count every dropped child when starved."""
+    import numpy as np
+
+    from raytracer_tpu.render.engine import (_to_blocks, make_cast, radiance,
+                                             render_frame)
+    from raytracer_tpu.render.geometry import camera_rays, expand_geometry
+
+    scene, camera, cfg = mixed
+    a = np.asarray(render_frame(scene, camera, cfg))
+    b = np.asarray(render_frame(scene, camera,
+                                cfg.replace(child_tile_cap=0.5)))
+    np.testing.assert_array_equal(a, b)
+
+    geom = expand_geometry(scene)
+    cast = make_cast(scene, geom, cfg)
+    ro, rd = camera_rays(camera, cfg.width, cfg.height)
+    hp = -(-cfg.height // 32) * 32
+    wp = -(-cfg.width // 32) * 32
+    import jax.numpy as jnp
+
+    ro = jnp.pad(ro, ((0, hp - cfg.height), (0, wp - cfg.width), (0, 0)))
+    rd = jnp.pad(rd, ((0, hp - cfg.height), (0, wp - cfg.width), (0, 0)),
+                 constant_values=1.0)
+    ro_b = _to_blocks(ro, hp, wp).reshape(-1, 3)
+    rd_b = _to_blocks(rd, hp, wp).reshape(-1, 3)
+    _, d_ample = radiance(scene, geom, cast, cfg.replace(child_tile_cap=0.5),
+                          ro_b, rd_b)
+    _, d_starved = radiance(scene, geom, cast,
+                            cfg.replace(child_tile_cap=1e-9), ro_b, rd_b)
+    assert int(d_ample) == 0
+    assert int(d_starved) > 0
