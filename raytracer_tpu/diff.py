@@ -92,6 +92,74 @@ def make_loss_fn(scene: Scene, camera: Camera, cfg: RenderConfig, target,
     return loss_fn
 
 
+def make_spp_grad_fn(scene: Scene, camera: Camera, cfg: RenderConfig,
+                     spp: int, spp_chunk: int | None = None,
+                     remat: bool = True) -> Callable:
+    """Build ``step(params, target) -> (loss, grads)`` computing the EXACT
+    full-image L2 gradient at ``spp`` samples per pixel.
+
+    ``spp_chunk=None`` (or >= spp): ONE jitted ``value_and_grad`` program —
+    the spp axis is a lax.scan with per-sample rematerialization
+    (render_frame), so backward memory is O(1) in spp and compute is
+    2F+B per sample (the remat recompute).  This is the production path now
+    that the per-sample checkpoint stages on TPU (round-4 fix: cast tables
+    thread through explicit arguments, see pallas_engine.prepare_pallas_cast).
+
+    Smaller ``spp_chunk`` bounds single-program runtime instead (long device
+    programs can trip the TPU runtime watchdog): gradient accumulation runs
+    as a host loop of two jitted programs — pass 1 sums chunk frames into the
+    image, pass 2 pulls dL/dimage back through each chunk with ``jax.vjp``.
+    Same math (same jitter grid, same per-sample clamp), same 2F+B compute.
+    """
+    from .render.engine import render_frame_sum, spp_jitter_grid
+
+    if spp_chunk is None or spp_chunk >= spp:
+        spp_chunk = spp
+    assert spp % spp_chunk == 0
+    n_chunks = spp // spp_chunk
+    offs, _ = spp_jitter_grid(spp, cfg.width, cfg.height)
+    cfg1 = cfg.replace(spp=1)
+
+    def render_chunk(p, offs_c):
+        s, c = merge_params(scene, camera, p)
+        return render_frame_sum(s, c, cfg1, offs_c, remat=remat)
+
+    if n_chunks == 1:
+        @jax.jit
+        def step(params, target):
+            def loss_fn(p):
+                img = render_chunk(p, offs) / spp
+                return l2_image_loss(img, target)
+
+            return jax.value_and_grad(loss_fn)(params)
+
+        return step
+
+    chunks = offs.reshape(n_chunks, spp_chunk, 2)
+    fwd = jax.jit(render_chunk)
+
+    @jax.jit
+    def bwd(p, offs_c, g_img):
+        _, pull = jax.vjp(lambda p_: render_chunk(p_, offs_c), p)
+        return pull(g_img)[0]
+
+    def step(params, target):
+        acc = fwd(params, chunks[0])
+        for i in range(1, n_chunks):
+            acc = acc + fwd(params, chunks[i])
+        img = acc / spp
+        loss = l2_image_loss(img, target)
+        g_img = 2.0 * (img - target) / (img.size * spp)
+        grads = bwd(params, chunks[0], g_img)
+        for i in range(1, n_chunks):
+            grads = jax.tree_util.tree_map(
+                jnp.add, grads, bwd(params, chunks[i], g_img)
+            )
+        return loss, grads
+
+    return step
+
+
 def sgd_step(params, grads, lr: float):
     return jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
 

@@ -83,12 +83,21 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _chunked_over_rays(ray_chunk: int):
+def _chunked_over_rays(ray_chunk: int, pad_origin: float = 0.0):
     """Decorator: flatten leading batch dims, pad to a multiple of ray_chunk,
     lax.map the wrapped single-chunk cast, unpad and reshape back.
 
     Extra positional per-ray arguments (e.g. an occlusion query's ``max_t``,
-    shaped [...]) are chunked alongside the rays (zero-padded)."""
+    shaped [...]) are chunked alongside the rays (zero-padded).
+
+    ``pad_origin`` places the padding rows' origins: casts whose backward is
+    supplied analytically (the Pallas custom_vjp wrappers) pass 1e30 so pad
+    tiles park outside every scene AABB and fail all votes — at origin 0 a
+    ghost ray can sit INSIDE the scene and pay a full traversal per pad lane
+    (a 400k-row pad measured ~2x a whole frame's cast).  Casts differentiated
+    directly (the jnp oracle) keep 0.0: a 1e30 origin overflows the
+    triangle-test arithmetic to inf and its reverse pass NaN-poisons
+    everything (0 * inf)."""
 
     def wrap(chunk_cast):
         def cast(ro, rd, *extras):
@@ -100,11 +109,11 @@ def _chunked_over_rays(ray_chunk: int):
             R = ro_f.shape[0]
             chunk = min(ray_chunk, R) if R else 1
             Rp = _round_up(max(R, 1), chunk)
-            ro_f = jnp.pad(ro_f, ((0, Rp - R), (0, 0)))
+            ro_f = jnp.pad(ro_f, ((0, Rp - R), (0, 0)),
+                           constant_values=pad_origin)
             rd_f = jnp.pad(rd_f, ((0, Rp - R), (0, 0)),
                            constant_values=0.0)
             ex_f = [jnp.pad(e, (0, Rp - R)) for e in ex_f]
-            # benign unit dir for padding rows
             pad_mask = jnp.arange(Rp) >= R
             rd_f = jnp.where(pad_mask[:, None], jnp.array([0.0, 0.0, 1.0]), rd_f)
 

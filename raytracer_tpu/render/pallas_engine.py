@@ -79,8 +79,11 @@ _II_VALID = 3
 _II_IS_BOX = 4      # 1 when the mesh is a detected axis-aligned box (the slab
 #                     entry/exit IS the closest triangle hit; no tri loop)
 _II_MAT = 5         # material id (box meshes are single-material by detection)
-_II_FACE_WTRI = 8   # 8:14 representative world-tri id per face
-_II_WIDTH = 16
+_II_FACE_WTRI = 8   # 8:14 first world-tri id per face (f = axis*2 + side)
+_II_FACE_WTRI2 = 14  # 14:20 second world-tri id per face (box_exact_uv: the
+#                      box fast path picks whichever of the face's two
+#                      triangles contains the hit and emits its true uv)
+_II_WIDTH = 24
 
 # template row layout (per mesh-local triangle)
 _TF_A = 0      # 0:3 vertex a
@@ -190,8 +193,12 @@ def _detect_box_meshes(scene: Scene):
     first = jnp.full((M * 6,), T, jnp.int32).at[mf].min(
         jnp.where(tri_ok, tri_rows, T)
     )
+    second = jnp.full((M * 6,), -1, jnp.int32).at[mf].max(
+        jnp.where(tri_ok, tri_rows, -1)
+    )
     counts = counts.reshape(M, 6)
     face_tri = jnp.clip(first.reshape(M, 6), 0, max(T - 1, 0))
+    face_tri2 = jnp.clip(second.reshape(M, 6), 0, max(T - 1, 0))
 
     # both triangles of a face must agree on the (faceted) normal: the sum of
     # two equal unit normals has length 2, opposed windings give ~0.
@@ -218,20 +225,29 @@ def _detect_box_meshes(scene: Scene):
         & normals_agree
         & same_mat
     )
-    return is_box, ref_mat.astype(jnp.int32), face_tri, face_of
+    return is_box, ref_mat.astype(jnp.int32), face_tri, face_of, face_tri2
 
 
 def build_tables(scene: Scene, geom: WorldGeometry, *, exact_uv: bool = False,
-                 texture_mapping: bool = False) -> PallasSceneTables:
+                 texture_mapping: bool = False,
+                 box_exact_uv: bool = False) -> PallasSceneTables:
     """Build the VMEM-resident tables from the scene (trace-safe jnp ops).
 
-    ``exact_uv=True`` disables the box fast path entirely: the fast path
-    reports a fixed uv=(1/3, 1/3) and a per-face representative triangle,
-    which is fine for faceted Phong shading but wrong for any consumer of the
-    true barycentric coordinates (texture sampling, the edge-aware silhouette
-    band, the analytic uv-VJP).  ``texture_mapping=True`` keeps the fast path
-    only for meshes whose triangles are all texture-degenerate (untextured),
-    since textured meshes need interpolated coordinates (ADVICE r2)."""
+    ``exact_uv=True`` disables the box fast path entirely: the plain fast
+    path reports a fixed uv=(1/3, 1/3) and a per-face representative
+    triangle, which is fine for faceted Phong shading but wrong for any
+    consumer of the true barycentric coordinates (texture sampling, the
+    edge-aware silhouette band, the analytic uv-VJP).
+
+    ``box_exact_uv=True`` (production edge-aware config) KEEPS the box fast
+    path and instead fills the per-face second-triangle columns
+    (_II_FACE_WTRI2) so the kernel can resolve the true containing triangle
+    and its signed barycentrics in-kernel at box speed — the template loop
+    costs ~12x the slab test and dominated the vertex-gradient benches.
+
+    ``texture_mapping=True`` keeps the fast path only for meshes whose
+    triangles are all texture-degenerate (untextured), since textured meshes
+    need interpolated coordinates (ADVICE r2)."""
     n = scene.inst_pos.shape[0]
 
     # Effective instance frame: the composition of Transformation and the mesh's
@@ -280,8 +296,8 @@ def build_tables(scene: Scene, geom: WorldGeometry, *, exact_uv: bool = False,
     # identity composed rotation (cube-world instances are pure translations,
     # cube_world.cc:163) so the world-AABB slab IS the local box test;
     # rotated instances fall back to the template scan.
-    is_box_m, mat_m, face_tri_m, _ = _detect_box_meshes(scene)
-    if exact_uv:
+    is_box_m, mat_m, face_tri_m, _, face_tri2_m = _detect_box_meshes(scene)
+    if exact_uv and not box_exact_uv:
         is_box_m = jnp.zeros_like(is_box_m)
     elif texture_mapping:
         # a textured box mesh must take the template path for real uv
@@ -311,6 +327,13 @@ def build_tables(scene: Scene, geom: WorldGeometry, *, exact_uv: bool = False,
     )  # [n, 6]
     face_wtri = jnp.clip(face_wtri, 0, max(geom.a.shape[0] - 1, 0))
     inst_i32 = inst_i32.at[:, _II_FACE_WTRI:_II_FACE_WTRI + 6].set(face_wtri)
+    face_wtri2 = wtri_start[:, None] + (
+        face_tri2_m[mesh] - tmpl_start[:, None]
+    )
+    face_wtri2 = jnp.clip(face_wtri2, 0, max(geom.a.shape[0] - 1, 0))
+    inst_i32 = inst_i32.at[:, _II_FACE_WTRI2:_II_FACE_WTRI2 + 6].set(
+        face_wtri2
+    )
     fnrm = geom.na[face_wtri]  # [n, 6, 3] world faceted face normals
     inst_f32 = inst_f32.at[:, _IF_FNRM:_IF_FNRM + 18].set(
         fnrm.reshape(n, 18)
@@ -495,14 +518,21 @@ def _box_face_hit(tns, tfs, inside, dx, dy, dz, inst_f_ref, inst_i_ref, i):
         nx = jnp.where(sel, inst_f_ref[i, _IF_FNRM + 3 * f + 0], nx)
         ny = jnp.where(sel, inst_f_ref[i, _IF_FNRM + 3 * f + 1], ny)
         nz = jnp.where(sel, inst_f_ref[i, _IF_FNRM + 3 * f + 2], nz)
-    return ok, t_hit, wtri, nx, ny, nz
+    return ok, t_hit, wtri, nx, ny, nz, face
 
 
 def _intersect_instance(i, any_hit, tns, tfs, inside, rays, refs, best,
-                        max_tris: int):
+                        max_tris: int, exact_uv: bool = False):
     """Closest-hit update of instance ``i`` against the ray tile — the shared
     body of the candidate-list kernel and the BVH-walk kernel.  ``tns/tfs/
-    inside`` are the instance's (already computed) world slab terms."""
+    inside`` are the instance's (already computed) world slab terms.
+
+    ``exact_uv`` (static): the box fast path additionally resolves the TRUE
+    containing triangle of the hit face and its signed barycentrics — a
+    per-face gated pair of bary evaluations (~2x the slab cost on hit faces)
+    instead of demoting the whole mesh to the 12-triangle template loop
+    (~12x).  Requires tables built with ``box_exact_uv=True`` (the
+    _II_FACE_WTRI2 columns)."""
     ox, oy, oz, dx, dy, dz = rays
     inst_f_ref, inst_i_ref, tmpl_ref = refs
     (bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
@@ -513,7 +543,7 @@ def _intersect_instance(i, any_hit, tns, tfs, inside, rays, refs, best,
     # the (already computed) world slab enters/exits -----------------
     @pl.when(any_hit & is_box)
     def _():
-        ok, t_hit, wtri, nx, ny, nz = _box_face_hit(
+        ok, t_hit, wtri, nx, ny, nz, face = _box_face_hit(
             tns, tfs, inside, dx, dy, dz, inst_f_ref, inst_i_ref, i
         )
         ok = ok & (t_hit < bt_ref[:])
@@ -525,6 +555,71 @@ def _intersect_instance(i, any_hit, tns, tfs, inside, rays, refs, best,
         bny_ref[:] = jnp.where(ok, ny, bny_ref[:])
         bnz_ref[:] = jnp.where(ok, nz, bnz_ref[:])
         bmat_ref[:] = jnp.where(ok, inst_i_ref[i, _II_MAT], bmat_ref[:])
+
+        if exact_uv:
+            # Mesh-local hit point (identity composed rotation by the box
+            # path's precondition): p = o + t d - pos.
+            px_i = inst_f_ref[i, _IF_POS + 0]
+            py_i = inst_f_ref[i, _IF_POS + 1]
+            pz_i = inst_f_ref[i, _IF_POS + 2]
+            hx = ox + t_hit * dx - px_i
+            hy = oy + t_hit * dy - py_i
+            hz = oz + t_hit * dz - pz_i
+            tmpl_start = inst_i_ref[i, _II_TMPL_START]
+            wtri_start = inst_i_ref[i, _II_WTRI_START]
+
+            def bary(row):
+                """Signed barycentrics (u = b-weight, v = c-weight) of the
+                local hit point vs template triangle ``row`` — matches the
+                analytic VJP reconstruction (cast_vjp._recon_plane_hit)."""
+                ax = tmpl_ref[row, _TF_A + 0]
+                ay = tmpl_ref[row, _TF_A + 1]
+                az = tmpl_ref[row, _TF_A + 2]
+                bx = tmpl_ref[row, _TF_B + 0]
+                by = tmpl_ref[row, _TF_B + 1]
+                bz = tmpl_ref[row, _TF_B + 2]
+                cx = tmpl_ref[row, _TF_C + 0]
+                cy = tmpl_ref[row, _TF_C + 1]
+                cz = tmpl_ref[row, _TF_C + 2]
+                pnx = tmpl_ref[row, _TF_PNU + 0]
+                pny = tmpl_ref[row, _TF_PNU + 1]
+                pnz = tmpl_ref[row, _TF_PNU + 2]
+                area = tmpl_ref[row, _TF_AREA]
+                inv = 1.0 / jnp.maximum(area, 1e-20)
+                pax, pay, paz = hx - ax, hy - ay, hz - az
+                cax, cay, caz = cx - ax, cy - ay, cz - az
+                bax, bay, baz = bx - ax, by - ay, bz - az
+                # u = ((p-a) x (c-a)) . n_hat / |n_raw|
+                u = ((pay * caz - paz * cay) * pnx
+                     + (paz * cax - pax * caz) * pny
+                     + (pax * cay - pay * cax) * pnz) * inv
+                # v = ((b-a) x (p-a)) . n_hat / |n_raw|
+                v = ((bay * paz - baz * pay) * pnx
+                     + (baz * pax - bax * paz) * pny
+                     + (bax * pay - bay * pax) * pnz) * inv
+                return u, v
+
+            eps_b = 1e-5
+            for f in range(6):
+                sel = ok & (face == f)
+
+                @pl.when(jnp.any(sel))
+                def _(f=f, sel=sel):
+                    w1 = inst_i_ref[i, _II_FACE_WTRI + f]
+                    w2 = inst_i_ref[i, _II_FACE_WTRI2 + f]
+                    u1, v1 = bary(w1 - wtri_start + tmpl_start)
+                    u2, v2 = bary(w2 - wtri_start + tmpl_start)
+                    in1 = ((u1 >= -eps_b) & (v1 >= -eps_b)
+                           & (u1 + v1 <= 1.0 + eps_b))
+                    in2 = ((u2 >= -eps_b) & (v2 >= -eps_b)
+                           & (u2 + v2 <= 1.0 + eps_b))
+                    use2 = ~in1 & in2
+                    bu_ref[:] = jnp.where(
+                        sel, jnp.where(use2, u2, u1), bu_ref[:])
+                    bv_ref[:] = jnp.where(
+                        sel, jnp.where(use2, v2, v1), bv_ref[:])
+                    btri_ref[:] = jnp.where(
+                        sel, jnp.where(use2, w2, w1), btri_ref[:])
 
     # ---- general template path: per-triangle scan in the instance-local
     # frame (cast_local, scene.cu:28-40) ------------------------------
@@ -777,7 +872,7 @@ def _cast_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
                  mat_out,
                  bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref, bnz_ref,
                  bmat_ref,
-                 *, n_inst: int, max_tris: int):
+                 *, n_inst: int, max_tris: int, exact_uv: bool = False):
     tile_id = pl.program_id(0)
     loop_n = info_ref[tile_id, 0]
     overflow = info_ref[tile_id, 1]
@@ -810,7 +905,7 @@ def _cast_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
                    & (tmin < bt_ref[:]) & inside)
         any_hit = jnp.any(box_hit) & valid
         _intersect_instance(i, any_hit, tns, tfs, inside, rays, refs, best,
-                            max_tris)
+                            max_tris, exact_uv=exact_uv)
         return _
 
     jax.lax.fori_loop(0, loop_n, inst_body, None)
@@ -824,7 +919,8 @@ def _bvh_cast_kernel(order_ref, nodes_ref, inst_f_ref, inst_i_ref, tmpl_ref,
                      mat_out, visits_out,
                      bt_ref, btri_ref, bu_ref, bv_ref, bnx_ref, bny_ref,
                      bnz_ref, bmat_ref,
-                     *, n_leaves: int, max_tris: int):
+                     *, n_leaves: int, max_tris: int,
+                     exact_uv: bool = False):
     """Tile-synchronous stackless LBVH traversal (production accel path).
 
     The TPU analog of the reference's warp-synchronous iterator
@@ -871,7 +967,7 @@ def _bvh_cast_kernel(order_ref, nodes_ref, inst_f_ref, inst_i_ref, tmpl_ref,
         def _():
             i = order_ref[flat]
             _intersect_instance(i, vote & (i >= 0), tns, tfs, inside, rays,
-                                refs, best, max_tris)
+                                refs, best, max_tris, exact_uv=exact_uv)
 
         v_next = jnp.where(vote & ~is_leaf, 2 * v, _skip_next(v))
         return v_next, cnt + 1
@@ -992,7 +1088,10 @@ def _pad_rays(ro, rd, tile):
     r = ro_f.shape[0]
     rp = (r + tile - 1) // tile * tile
     pad = rp - r
-    ro_f = jnp.pad(ro_f, ((0, pad), (0, 0)))
+    # pad rows park far outside the scene (origin 1e30) so their tiles fail
+    # every vote — origin-0 ghosts can sit inside the scene and pay full
+    # traversals
+    ro_f = jnp.pad(ro_f, ((0, pad), (0, 0)), constant_values=1.0e30)
     rd_f = jnp.pad(rd_f, ((0, pad), (0, 0)), constant_values=0.0)
     pad_mask = jnp.arange(rp) >= r
     rd_f = jnp.where(pad_mask[:, None], jnp.array([0.0, 0.0, 1.0]), rd_f)
@@ -1002,10 +1101,52 @@ def _pad_rays(ro, rd, tile):
     return [c.reshape(rows, LANES) for c in comps], r, rp, rows
 
 
+def _use_walk(cfg: RenderConfig, n_inst: int) -> bool:
+    return cfg.pallas_traversal == "bvh" or (
+        cfg.pallas_traversal == "auto" and n_inst > 256
+    )
+
+
+def prepare_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig):
+    """Build the cast's runtime data (scene tables + LBVH nodes) as an explicit
+    PYTREE, separate from kernel binding.
+
+    Rationale: when these arrays are *closed over* by the cast (and its
+    custom_vjp wrappers) instead of being function arguments, any traced value
+    among them (e.g. tables derived from a scene whose materials are being
+    differentiated) becomes a tracer constant inside the staged jaxpr —
+    which ``jax.checkpoint`` of the per-sample render body then fails to
+    lower on TPU ("No constant handler for DynamicJaxprTracer", the round-3
+    heavy-spp blocker).  Threading this pytree through explicit arguments
+    (engine._sample_frame) keeps every staged jaxpr closure-free."""
+    tables = build_tables(
+        scene, geom,
+        exact_uv=cfg.edge_aware_grads,
+        box_exact_uv=cfg.edge_aware_grads,
+        texture_mapping=cfg.texture_mapping,
+    )
+    aux = {"tables": tables, "nodes": None, "ordering": None,
+           "tables_occl": None}
+    if _use_walk(cfg, tables.inst_i32.shape[0]):
+        from ..accel import build_lbvh
+
+        lbvh = build_lbvh(geom.aabb_min, geom.aabb_max)
+        total = 2 * lbvh.n_leaves - 1
+        nodes = jnp.zeros((total, 8), jnp.float32)
+        nodes = nodes.at[:, 0:3].set(lbvh.box_min)
+        nodes = nodes.at[:, 3:6].set(lbvh.box_max)
+        nodes = nodes.at[:, 6].set(lbvh.valid.astype(jnp.float32))
+        aux["nodes"] = nodes
+        aux["ordering"] = lbvh.ordering
+    return aux
+
+
 def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
-                     tile_rows: int = 8, max_cand: int = 64) -> CastFn:
+                     tile_rows: int = 8, max_cand: int = 64,
+                     aux=None) -> CastFn:
     """Build the Pallas cast; tables are computed from (scene, geom) at trace
-    time and live in VMEM for the whole kernel.
+    time (or taken from a ``prepare_pallas_cast`` pytree) and live in VMEM for
+    the whole kernel.
 
     Two traversal strategies share the instance intersector
     (``cfg.pallas_traversal``): ``"cull"`` consumes per-tile candidate lists
@@ -1017,19 +1158,21 @@ def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
     The returned cast carries an ``occlude(ro, rd, max_t) -> bool`` attribute
     (the any-hit kernel) and, for the BVH path, ``visit_counts(ro, rd)``
     (per-tile node visits, used by the O(log N) scaling test)."""
-    tables = build_tables(
-        scene, geom,
-        exact_uv=cfg.edge_aware_grads,
-        texture_mapping=cfg.texture_mapping,
-    )
+    if aux is None:
+        aux = prepare_pallas_cast(scene, geom, cfg)
+    tables = aux["tables"]
+    # occlusion may use box-fast-path tables even when casts need exact uv
+    tables_o = aux.get("tables_occl")
+    if tables_o is None:
+        tables_o = tables
     n_inst = tables.inst_i32.shape[0]
     max_tris = int(cfg.max_tris_per_mesh)
     tile = tile_rows * LANES
-    use_walk = cfg.pallas_traversal == "bvh" or (
-        cfg.pallas_traversal == "auto" and n_inst > 256
-    )
+    use_walk = _use_walk(cfg, n_inst)
 
-    kernel = functools.partial(_cast_kernel, n_inst=n_inst, max_tris=max_tris)
+    kernel = functools.partial(_cast_kernel, n_inst=n_inst,
+                               max_tris=max_tris,
+                               exact_uv=cfg.edge_aware_grads)
     occ_kernel = functools.partial(_occlude_kernel, n_inst=n_inst,
                                    max_tris=max_tris)
 
@@ -1055,18 +1198,12 @@ def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
         return [f, i, f, f, f, f, f, i]
 
     if use_walk:
-        from ..accel import build_lbvh
-
-        lbvh = build_lbvh(geom.aabb_min, geom.aabb_max)
-        n_leaves = lbvh.n_leaves
-        total = 2 * n_leaves - 1
-        nodes = jnp.zeros((total, 8), jnp.float32)
-        nodes = nodes.at[:, 0:3].set(lbvh.box_min)
-        nodes = nodes.at[:, 3:6].set(lbvh.box_max)
-        nodes = nodes.at[:, 6].set(lbvh.valid.astype(jnp.float32))
-        ordering = lbvh.ordering
+        nodes = aux["nodes"]
+        ordering = aux["ordering"]
+        n_leaves = (nodes.shape[0] + 1) // 2
         bvh_kernel = functools.partial(
-            _bvh_cast_kernel, n_leaves=n_leaves, max_tris=max_tris
+            _bvh_cast_kernel, n_leaves=n_leaves, max_tris=max_tris,
+            exact_uv=cfg.edge_aware_grads,
         )
 
     def _run_walk(ro, rd):
@@ -1169,8 +1306,8 @@ def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
                 grid_spec=grid_spec,
                 out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
                 interpret=interp,
-            )(ordering, nodes, tables.inst_f32, tables.inst_i32,
-              tables.tmpl, *comps, mt)
+            )(ordering, nodes, tables_o.inst_f32, tables_o.inst_i32,
+              tables_o.tmpl, *comps, mt)
             return (blk.reshape(rp)[:r] > 0).reshape(batch_shape)
         cand, info = tile_candidates(comps, tile_rows, tables.inst_f32,
                                      max_cand)
@@ -1185,7 +1322,7 @@ def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.int32)],
             interpret=interp,
-        )(cand, info, tables.inst_f32, tables.inst_i32, tables.tmpl,
+        )(cand, info, tables_o.inst_f32, tables_o.inst_i32, tables_o.tmpl,
           *comps, mt)
         return (blk.reshape(rp)[:r] > 0).reshape(batch_shape)
 

@@ -94,6 +94,14 @@ def _march_shadow(scene: Scene, geom: WorldGeometry, cast_fn: CastFn,
             hit = cast_fn(o, dir_unit)
             t_fin = jnp.where(hit.valid, hit.t, 1.0)
             blocked = active & hit.valid & (t_fin <= max_t)
+        # Named so the per-sample remat policy (engine._scan_samples) can SAVE
+        # this boolean instead of re-walking the occlusion BVH in the
+        # backward recompute: the mask is detached (piecewise-constant) and
+        # 1 byte/ray, while the any-hit walk is ~as expensive as a full cast
+        # — the shadow queries are ~40% of a stress-world sample's forward.
+        from jax.ad_checkpoint import checkpoint_name
+
+        blocked = checkpoint_name(blocked, "shadow_occl")
         lit = jnp.broadcast_to(light_col, origin.shape[:-1] + (4,))
         return jnp.where(blocked[..., None], 0.0, lit)
 

@@ -214,6 +214,17 @@ class RenderConfig:
     #               Children inherit parent slots, so tiles stay coherent;
     #               overflowing children are dropped AND counted.  0 = the
     #               per-lane compacted queue (exact capacity R*queue_factor).
+    static_tile_cap: float = 0.0  # > 0 (spp > 1 paths): ONE center-jitter
+    #               probe cast per frame picks the ceil(T * cap) tiles whose
+    #               3x3-dilated occupancy contains any hit; EVERY sample then
+    #               renders only those tiles (gather rays -> render -> hinted
+    #               scatter).  Unlike wavefront_tile_cap this amortizes the
+    #               probe over the whole spp sweep — the big lever for
+    #               mostly-empty frames (world8_stress 1080p is ~80% sky).
+    #               Subpixel jitter moves silhouettes < 1 px, far inside the
+    #               32-px dilation ring, so kept-tile coverage is exact for
+    #               the fixture worlds; probe hits beyond the cap are counted
+    #               as drops (engine._static_tile_lanes).
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -42,7 +42,7 @@ def _compare(hit_p, hit_b, scene, geom):
         np.asarray(hit_p.t)[both], np.asarray(hit_b.t)[both], rtol=1e-5, atol=1e-5
     )
     # same face + same instance (tri id at face granularity)
-    _, _, _, face_of = pe._detect_box_meshes(scene)
+    _, _, _, face_of, _ = pe._detect_box_meshes(scene)
     face_of = np.asarray(face_of)
     wtri_tri = np.asarray(scene.wtri_tri)
     inst = np.asarray(geom.inst)
@@ -247,11 +247,11 @@ def test_box_detection_world8(world8):
     import dataclasses
 
     w, scene, cam, geom = world8
-    is_box, mat, face_tri, face_of = pe._detect_box_meshes(scene)
+    is_box, mat, face_tri, face_of, _ = pe._detect_box_meshes(scene)
     assert bool(np.asarray(is_box).all())
     # perturb one vertex off its corner -> not a box anymore
     verts = np.asarray(scene.verts).copy()
     verts[0] += 0.05
     scene2 = dataclasses.replace(scene, verts=jnp.asarray(verts))
-    is_box2, _, _, _ = pe._detect_box_meshes(scene2)
+    is_box2, _, _, _, _ = pe._detect_box_meshes(scene2)
     assert not bool(np.asarray(is_box2)[0])
