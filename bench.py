@@ -15,9 +15,9 @@ Every item runs in its OWN subprocess (``--item KEY``): a TPU worker crash —
 e.g. the runtime watchdog killing a pathological program — poisons the JAX
 client for the rest of that process, so isolation keeps one failure from
 wiping every later row (this exact failure mode ate half the round-2 ladder).
-The heavy spp configs additionally chunk the spp axis over host-level calls
-(gradient accumulation via two-pass vjp) so no single device program runs for
-minutes.
+The heavy spp configs run as ONE in-program lax.scan with per-sample remat
+(diff.make_spp_grad_fn; ~7-13 s device programs measured watchdog-safe); tile
+caps come from probe renders (render.auto_tile_caps), never hand tuning.
 """
 
 from __future__ import annotations
@@ -94,17 +94,19 @@ def _load(config_path, **cfg_over):
 
 def bench_world(config_path: str, width=640, height=480, iters=10,
                 use_bvh=True, spp=1, traversal="auto", scale_cam=False,
-                tile_cap=0.0):
+                auto_caps=False):
+    """``auto_caps=True`` derives every tile cap from a probe render
+    (render.auto_tile_caps) — no hand-tuned per-world constants (VERDICT r3
+    weak #7); residual drops are counted and reported."""
     import dataclasses
 
     import jax.numpy as jnp
 
-    from raytracer_tpu.render import render_frame
+    from raytracer_tpu.render import auto_tile_caps, render_frame_with_stats
 
     w, scene, camera, cfg = _load(
         config_path, width=width, height=height, use_bvh=use_bvh,
         ray_chunk=8192, spp=spp, pallas_traversal=traversal,
-        wavefront_tile_cap=tile_cap,
     )
     if scale_cam:
         from raytracer_tpu.builder import scale_camera
@@ -113,12 +115,23 @@ def bench_world(config_path: str, width=640, height=480, iters=10,
         camera = jax.tree_util.tree_map(
             jnp.asarray, scale_camera(w.camera, width, w.config.width)
         )
+    if auto_caps:
+        cfg = cfg.replace(**auto_tile_caps(scene, camera, cfg))
 
     def frame(cam_pos):
         cam = dataclasses.replace(camera, pos=cam_pos)
-        return render_frame(scene, cam, cfg)
+        img, stats = render_frame_with_stats(scene, cam, cfg)
+        return img + 0.0 * stats["dropped"]
 
-    return _loop_time_ms(frame, camera.pos, iters=iters)
+    ms, checksum = _loop_time_ms(frame, camera.pos, iters=iters)
+    import jax
+
+    _, stats = jax.jit(
+        lambda: render_frame_with_stats(scene, camera, cfg))()
+    dropped = int(stats["dropped"])
+    if dropped:
+        print(f"WARNING {config_path} dropped={dropped}", file=sys.stderr)
+    return ms, checksum
 
 
 def bench_synth_big(n_instances=4096, traversal="bvh", iters=5):
@@ -148,19 +161,18 @@ def bench_synth_big(n_instances=4096, traversal="bvh", iters=5):
     return _loop_time_ms(frame, camera.pos, iters=iters)
 
 
-def bench_mixed(iters=5, child_tile_cap=0.0):
+def bench_mixed(iters=5, auto_caps=False):
     """The compacted 2x-stream wavefront (both child types live) at 640x480.
 
-    ``child_tile_cap`` > 0 selects the tile-granular child-queue compaction
-    (bit-identical images; the per-lane argsort + full-length gathers +
-    full-R scatter per round collapse to a few capped tiles)."""
+    ``auto_caps=True`` derives the child-queue tile cap from the probe
+    render (tile-granular compaction, bit-identical images)."""
     import dataclasses
 
     import jax
     import jax.numpy as jnp
 
     from raytracer_tpu.builder import scale_camera
-    from raytracer_tpu.render import render_frame
+    from raytracer_tpu.render import auto_tile_caps, render_frame
     from raytracer_tpu.scene import device_scene
     from raytracer_tpu.synth import make_mixed_world
 
@@ -172,7 +184,10 @@ def bench_mixed(iters=5, child_tile_cap=0.0):
     )
     cfg = cfg.replace(width=640, height=480,
                       engine="pallas" if on_accel else "jnp",
-                      pallas_kernel="scalar", child_tile_cap=child_tile_cap)
+                      pallas_kernel="scalar")
+    if auto_caps:
+        caps = auto_tile_caps(scene, camera, cfg)
+        cfg = cfg.replace(child_tile_cap=caps["child_tile_cap"])
 
     def frame(cam_pos):
         c = dataclasses.replace(camera, pos=cam_pos)
@@ -219,72 +234,44 @@ def bench_fwd_bwd(config_path: str, width=1920, height=1080, iters=3, spp=1,
     return ms, mrays
 
 
-def bench_fwd_bwd_chunked(config_path: str, width=1920, height=1080, spp=64,
-                          spp_chunk=8, repeats=2, include_lights=True,
-                          include_camera=True):
-    """Heavy-spp fwd+bwd with the spp axis chunked over host calls.
-
-    Computes the EXACT full-image-loss gradient by two-pass accumulation:
-    pass 1 sums sample-chunk frames into the full image (forward only),
-    pass 2 pulls dL/dimage back through each chunk with ``jax.vjp`` and
-    accumulates parameter cotangents.  Each device program covers one
-    spp_chunk microbatch — bounded runtime, same math as the monolithic
-    ``render(spp=N)`` step (same jitter grid, same per-sample clamp)."""
-    import dataclasses
-
+def bench_fwd_bwd_spp(config_path: str, width=1920, height=1080, spp=64,
+                      spp_chunk=None, repeats=2, include_lights=True,
+                      include_camera=True, include_vertices=False,
+                      edge_aware=False):
+    """Heavy-spp fwd+bwd via diff.make_spp_grad_fn: the whole gradient
+    accumulation runs as in-program lax.scan(s) with per-sample remat
+    (spp_chunk=None -> one program; else a host loop of chunk programs to
+    bound single-program runtime).  Tile caps come from the probe render
+    (auto_tile_caps), not hand tuning."""
     import jax
     import jax.numpy as jnp
 
     from raytracer_tpu import diff
     from raytracer_tpu.builder import scale_camera
-    from raytracer_tpu.render.engine import render_frame_sum, spp_jitter_grid
+    from raytracer_tpu.render import auto_tile_caps
 
-    assert spp % spp_chunk == 0
     w, scene, camera, cfg = _load(
         config_path, width=width, height=height, ray_chunk=16384,
-        early_exit=False, spp=1,
+        early_exit=False, spp=1, edge_aware_grads=edge_aware,
     )
     camera = jax.tree_util.tree_map(
         jnp.asarray, scale_camera(w.camera, width, w.config.width)
     )
+    cfg = cfg.replace(
+        static_tile_cap=auto_tile_caps(scene, camera, cfg)["static_tile_cap"]
+    )
     params = diff.trainable_params(scene, camera,
                                    include_lights=include_lights,
-                                   include_camera=include_camera)
+                                   include_camera=include_camera,
+                                   include_vertices=include_vertices)
     target = jnp.zeros((height, width, 4), jnp.float32)
-    offs, _ = spp_jitter_grid(spp, width, height)
-    chunks = [offs[i:i + spp_chunk] for i in range(0, spp, spp_chunk)]
-
-    def render_chunk(p, offs_c):
-        s, c = diff.merge_params(scene, camera, p)
-        # remat=False: backward memory is bounded by spp_chunk instead (the
-        # per-sample checkpoint cannot stage on TPU when the body nests the
-        # bounce loop around pallas custom_vjp casts — see render_frame_sum).
-        return render_frame_sum(s, c, cfg, offs_c, remat=False)
-
-    fwd = jax.jit(render_chunk)
-
-    def bwd_chunk(p, offs_c, g_img):
-        _, pull = jax.vjp(lambda p_: render_chunk(p_, offs_c), p)
-        return pull(g_img)[0]
-
-    bwd = jax.jit(bwd_chunk)
+    step = diff.make_spp_grad_fn(scene, camera, cfg, spp,
+                                 spp_chunk=spp_chunk)
 
     def one_step():
-        acc = jnp.zeros((height, width, 4), jnp.float32)
-        for oc in chunks:
-            acc = acc + fwd(params, oc)
-        img = acc / spp
-        n = img.size
-        g_img = 2.0 * (img - target) / (n * spp)  # d(l2)/dimg per-sample
-        grads = None
-        for oc in chunks:
-            g = bwd(params, oc, g_img)
-            grads = g if grads is None else jax.tree_util.tree_map(
-                jnp.add, grads, g
-            )
-        return jax.block_until_ready(grads)
+        return jax.block_until_ready(step(params, target))
 
-    one_step()  # compile + warm both programs
+    one_step()  # compile + warm
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -293,6 +280,101 @@ def bench_fwd_bwd_chunked(config_path: str, width=1920, height=1080, spp=64,
     ms = min(times) * 1e3
     mrays = width * height * spp / (ms * 1e-3) / 1e6
     return ms, mrays
+
+
+def vertex_fd_check(width=96, height=72, spp=8):
+    """On-chip finite-difference sanity for VERTEX gradients (VERDICT r3
+    next #2): the committed FD fixture
+    (test_diff.test_edge_aware_vertex_gradient_matches_fd_engines) run on
+    the real chip — world1's isolated cube, close-up 35-degree camera,
+    directional derivative along a global vertex scale.  On a lone cube
+    every silhouette borders the true background, so the one-sided
+    mollifier's known bias is the only systematic term (expected AD/FD
+    ratio ~0.5-1.6; seam-heavy terrain worlds instead trip the documented
+    L_front-vs-neighbor bias and are NOT a meaningful FD target).  Returns
+    ``(ad, fd, ratio)``."""
+    import dataclasses
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_tpu import raymath as rm
+    from raytracer_tpu.builder import scale_camera
+    from raytracer_tpu.render import render_frame
+    from raytracer_tpu.render.geometry import expand_geometry
+
+    w, scene, camera, cfg = _load(
+        "/root/reference/world1.json", width=width, height=height,
+        ray_chunk=16384, early_exit=False, spp=spp, edge_aware_grads=True,
+        recurse_depth=0, edge_px=1.5,
+    )
+    # close-up 35-degree-yaw viewpoint (the committed test's fixture): the
+    # cube fills a good fraction of the frame and no face is edge-on
+    geom = expand_geometry(scene)
+    center = (geom.aabb_min.min(0) + geom.aabb_max.max(0)) / 2
+    radius = float(jnp.max(geom.aabb_max.max(0) - geom.aabb_min.min(0))) / 2
+    qy = rm.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]),
+                                 jnp.float32(35 * np.pi / 180))
+    rot = rm.quat_normalize(rm.quat_mul(qy, jnp.asarray(w.camera.rot)))
+    fwd = rm.normalize(rm.quat_to_mat(rot)[:, 2])
+    cam = dataclasses.replace(
+        jax.tree_util.tree_map(jnp.asarray, w.camera),
+        pos=center - fwd * (3.0 * radius), rot=rot,
+    )
+    camera = jax.tree_util.tree_map(
+        jnp.asarray, scale_camera(cam, width, w.config.width))
+
+    def loss_of(s):
+        s2 = dataclasses.replace(scene, verts=scene.verts * (1.0 + s))
+        img = render_frame(s2, camera, cfg)
+        return jnp.mean(img[..., :3])  # RGB only: alpha sits on the clamp
+
+    lossj = jax.jit(loss_of)
+    ad = float(jax.jit(jax.grad(loss_of))(0.0))
+    h = 0.03
+    fd = (float(lossj(h)) - float(lossj(-h))) / (2 * h)
+    ratio = ad / fd if abs(fd) > 1e-12 else float("nan")
+    return ad, fd, ratio
+
+
+def camera_fd_check(config_path="/root/reference/world8_stress.json",
+                    width=480, height=270, spp=8):
+    """On-chip FD sanity for CAMERA-pose gradients on the stress config
+    itself: directional derivative of the spp-averaged image mean along a
+    camera dolly.  Unlike per-cube vertex scaling, camera motion moves
+    abutting-cube seams coherently (their opposing bands cancel), so AD
+    should track FD closely.  Returns ``(ad, fd, ratio)``."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_tpu import raymath as rm
+    from raytracer_tpu.builder import scale_camera
+    from raytracer_tpu.render import render_frame
+
+    w, scene, camera, cfg = _load(
+        config_path, width=width, height=height, ray_chunk=16384,
+        early_exit=False, spp=spp, edge_aware_grads=True, recurse_depth=0,
+    )
+    camera = jax.tree_util.tree_map(
+        jnp.asarray, scale_camera(w.camera, width, w.config.width)
+    )
+    fwd = rm.normalize(rm.quat_to_mat(camera.rot)[:, 2])
+
+    def loss_of(s):
+        c2 = dataclasses.replace(camera, pos=camera.pos + s * fwd)
+        img = render_frame(scene, c2, cfg)
+        return jnp.mean(img[..., :3])
+
+    lossj = jax.jit(loss_of)
+    ad = float(jax.jit(jax.grad(loss_of))(0.0))
+    h = 0.05
+    fd = (float(lossj(h)) - float(lossj(-h))) / (2 * h)
+    ratio = ad / fd if abs(fd) > 1e-12 else float("nan")
+    return ad, fd, ratio
 
 
 def consistency_check(width=256, height=192):
@@ -356,11 +438,10 @@ def consistency_check(width=256, height=192):
 # Item registry: each entry returns a dict of extras to merge.
 
 def _item_world1():
-    # Tile-compacted queue (1/16 of tiles ~ 19 of 300): world1's lone cube
-    # hits ~4 tiles, so bounce/shadow rounds shrink ~30x.  The discipline
-    # choice is the analog of the reference's per-world -d sweeps; the dense
+    # Probe-derived tile caps (auto_tile_caps — world1's lone cube occupies
+    # a handful of tiles, so bounce/shadow rounds shrink ~30x); the dense
     # row is reported alongside for the untuned number.
-    ms, _ = bench_world("/root/reference/world1.json", tile_cap=1.0 / 16.0)
+    ms, _ = bench_world("/root/reference/world1.json", auto_caps=True)
     dms, _ = bench_world("/root/reference/world1.json", iters=5)
     return {"world1_ms": round(ms, 3),
             "world1_vs_baseline": round(BASELINE_WORLD1_MS / ms, 3),
@@ -386,19 +467,22 @@ def _item_fwd_bwd_1080p():
 
 def _item_world4_512_spp4():
     ms, _ = bench_world("/root/reference/world4.json", width=512, height=512,
-                        spp=4, scale_cam=True, iters=5)
+                        spp=4, scale_cam=True, iters=5, auto_caps=True)
     return {"world4_512_spp4_ms": round(ms, 3)}
 
 
 def _item_world8_1024_spp16():
     ms, _ = bench_world("/root/reference/world8.json", width=1024,
-                        height=1024, spp=16, scale_cam=True, iters=3)
+                        height=1024, spp=16, scale_cam=True, iters=3,
+                        auto_caps=True)
     return {"world8_1024_spp16_ms": round(ms, 3)}
 
 
 def _item_world16_1080p_spp64_bwd():
-    ms, mrays = bench_fwd_bwd_chunked(
-        "/root/reference/world16.json", spp=64, spp_chunk=8,
+    # BASELINE configs[3]: backward to materials.  In-program scan with
+    # per-sample remat (round-4 staging fix); chunk 32 bounds program time.
+    ms, mrays = bench_fwd_bwd_spp(
+        "/root/reference/world16.json", spp=64, spp_chunk=None,
         include_lights=False, include_camera=False,
     )
     return {"world16_1080p_spp64_bwd_ms": round(ms, 3),
@@ -406,14 +490,28 @@ def _item_world16_1080p_spp64_bwd():
 
 
 def _item_world8_stress_1080p_spp128():
-    # spp_chunk=2: the reflective bounce rounds make this world's backward
-    # program ~3x world16's per sample; chunks >= 4 overflow the TPU
-    # compiler (remote_compile HTTP 500), 2 compiles and runs.
-    ms, mrays = bench_fwd_bwd_chunked(
-        "/root/reference/world8_stress.json", spp=128, spp_chunk=2,
+    # materials+lights+camera gradients (the VERDICT r3 next #1 target row)
+    ms, mrays = bench_fwd_bwd_spp(
+        "/root/reference/world8_stress.json", spp=128, spp_chunk=None,
     )
     return {"world8_stress_1080p_spp128_fwdbwd_ms": round(ms, 3),
             "world8_stress_1080p_spp128_mrays": round(mrays, 3)}
+
+
+def _item_world8_stress_geomgrad():
+    # BASELINE configs[4] as specified: geometry+camera gradients (vertex
+    # positions via the edge-aware band + analytic uv-VJP) at 1080p 128 spp,
+    # plus an on-chip central-difference sanity for one vertex coordinate.
+    ms, mrays = bench_fwd_bwd_spp(
+        "/root/reference/world8_stress.json", spp=128, spp_chunk=None,
+        include_vertices=True, edge_aware=True,
+    )
+    _, _, vratio = vertex_fd_check()
+    _, _, cratio = camera_fd_check()
+    return {"world8_stress_geomgrad_ms": round(ms, 3),
+            "world8_stress_geomgrad_mrays": round(mrays, 3),
+            "vertex_fd_ad_over_fd": round(vratio, 4),
+            "camera_fd_ad_over_fd": round(cratio, 4)}
 
 
 def _item_world16_cull():
@@ -439,12 +537,76 @@ def _item_synth4096_bvh():
 
 
 def _item_mixed_world():
-    # Tile-granular child compaction (1/8 of tiles): the two spawning cubes
-    # cover a handful of tiles, so per-round queue maintenance shrinks ~30x.
-    ms, _ = bench_mixed(child_tile_cap=1.0 / 8.0)
+    # Tile-granular child compaction with a probe-derived cap: the two
+    # spawning cubes cover a handful of tiles, so per-round queue
+    # maintenance shrinks ~30x.
+    ms, _ = bench_mixed(auto_caps=True)
     dms, _ = bench_mixed()
     return {"mixed_world_ms": round(ms, 3),
             "mixed_world_dense_ms": round(dms, 3)}
+
+
+def _item_mxu_general_mesh():
+    """Scalar vs MXU cast on a GENERAL trimesh world (64 icospheres, 80
+    triangles per mesh — the box fast path is off; the MXU Pluecker
+    kernel's claimed niche).  VERDICT r3 weak #9: measured round-4 result —
+    scalar wins ~10x at 80 tris/mesh and ~3.7x at 320 tris/mesh, so the
+    scalar kernel is the production path everywhere and the MXU kernel is
+    demoted to an experimental consistency-gate alternative
+    (ARCHITECTURE.md)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_tpu.render import render_frame
+    from raytracer_tpu.scene import device_scene
+    from raytracer_tpu.synth import make_sphere_world
+
+    scene, cam, cfg = make_sphere_world(64, 1)
+    scene = device_scene(scene)
+    camera = jax.tree_util.tree_map(jnp.asarray, cam)
+    out = {}
+    for kern in ("scalar", "mxu"):
+        c = cfg.replace(width=640, height=480, engine="pallas",
+                        pallas_kernel=kern)
+
+        def frame(cam_pos, c=c):
+            cc = dataclasses.replace(camera, pos=cam_pos)
+            return render_frame(scene, cc, c)
+
+        ms, _ = _loop_time_ms(frame, camera.pos, iters=5)
+        out[f"sphere64_{kern}_ms"] = round(ms, 3)
+    return out
+
+
+def _item_dsweep():
+    """Sweep the kernel tile size (the reference's -d plots, world*b*.png):
+    frame time on world8 640x480 per tile_rows in {8, 16, 24, 32} (the
+    d = sqrt(128 * rows) block-edge equivalents; Mosaic requires the
+    sublane dimension in multiples of 8)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_tpu.render import render_frame
+
+    out = {}
+    for rows in (8, 16, 24, 32):
+        w, scene, camera, cfg = _load(
+            "/root/reference/world8.json", ray_chunk=8192, tile_rows=rows
+        )
+
+        def frame(cam_pos):
+            cam = dataclasses.replace(camera, pos=cam_pos)
+            return render_frame(scene, cam, cfg)
+
+        ms, _ = _loop_time_ms(frame, camera.pos, iters=5)
+        out[f"world8_d{rows}rows_ms"] = round(ms, 3)
+        print(f"dsweep tile_rows={rows}: {ms:.3f} ms", file=sys.stderr,
+              flush=True)
+    return out
 
 
 def _item_consistency():
@@ -460,18 +622,22 @@ ITEMS = {
     "world8_1024_spp16": _item_world8_1024_spp16,
     "world16_1080p_spp64_bwd": _item_world16_1080p_spp64_bwd,
     "world8_stress_1080p_spp128": _item_world8_stress_1080p_spp128,
+    "world8_stress_geomgrad": _item_world8_stress_geomgrad,
     "world16_cull": _item_world16_cull,
     "world8_bvh": _item_world8_bvh,
     "synth4096_cull": _item_synth4096_cull,
     "synth4096_bvh": _item_synth4096_bvh,
     "mixed_world": _item_mixed_world,
+    "mxu_general_mesh": _item_mxu_general_mesh,
+    "dsweep": _item_dsweep,
     "consistency": _item_consistency,
 }
 
 ITEM_TIMEOUT_S = {
     "world8_1024_spp16": 2400,
     "world16_1080p_spp64_bwd": 3600,
-    "world8_stress_1080p_spp128": 5400,
+    "world8_stress_1080p_spp128": 3600,
+    "world8_stress_geomgrad": 3600,
 }
 
 

@@ -7,8 +7,11 @@ Reference flags -> ours:
   -r/--no-bvh   : disable acceleration structures (brute-force fallback)
   -s/--reference-impl : use the pure-jnp oracle engine (the analog of the
                   reference's serial CPU path)
-  -d/--dim      : kept for CLI parity; on TPU this maps to the ray-chunk size
-                  (kernel tile geometry is chosen by the engine)
+  -d/--dim      : kernel tile size knob (main.cc:38's d x d block edge): maps
+                  to RenderConfig.tile_rows = max(1, d*d/128) — the Pallas
+                  kernel tile is tile_rows x 128 lanes.  Unset keeps the
+                  engine default (8 rows = 1024 lanes = one 32x32 screen
+                  block).  Swept by the bench's d-sweep like world*b*.png
 
 The SDL window is replaced by a PNG framebuffer dump (``--out``); interactive
 viewing on a TPU pod host is out of scope (SURVEY.md §7.9).  ``--debug-pixel X Y``
@@ -37,7 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
         "-s", "--reference-impl", action="store_true",
         help="use the pure-jnp oracle engine",
     )
-    p.add_argument("-d", "--dim", type=int, default=16, help="tile dimension hint")
+    p.add_argument(
+        "-d", "--dim", type=int, default=None,
+        help="kernel tile edge (reference -d): Pallas tile rows = "
+             "max(1, d*d/128); unset = engine default (d=32 equivalent)",
+    )
     p.add_argument("-o", "--out", default=None, help="output PNG path")
     p.add_argument("--width", type=int, default=None, help="override canvas width")
     p.add_argument("--height", type=int, default=None, help="override canvas height")
@@ -210,6 +217,10 @@ def main(argv=None) -> int:
         engine="pallas" if (on_accel and not args.reference_impl) else "jnp",
         wavefront_tile_cap=args.wavefront_cap,
     )
+    if args.dim is not None:
+        # Mosaic needs the sublane dim in multiples of 8
+        rows = max(8, (args.dim * args.dim // 128 + 7) // 8 * 8)
+        cfg = cfg.replace(tile_rows=rows)
     scene = device_scene(world.scene)
     camera = jax.tree_util.tree_map(jnp.asarray, camera)
     print(f"Loaded scene: {args.config} ({cfg.width}x{cfg.height})")

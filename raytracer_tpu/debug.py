@@ -23,6 +23,51 @@ from .render.engine import make_cast, trans_attenuation
 from .scene import Camera, RenderConfig, Scene
 
 
+def _narrate_shadow_march(scene, geom, cast, cfg, origin, dir_unit, max_t,
+                          label):
+    """Per-light shadow-march narration — the analog of the reference's
+    debug printfs inside ``attenuate`` (src/rayprimitives/light.cu:38-40):
+    each step of the transmissive march prints what blocked (or passed)
+    the shadow ray.  Mirrors shading._march_shadow's semantics."""
+    mats = scene.materials
+    cur_o = origin + rm.THRESHOLD * dir_unit
+    remaining = float(max_t)
+    atten = np.ones(4, np.float32)
+    steps = max(1, cfg.shadow_steps)
+    for step in range(steps):
+        hit = cast(cur_o, dir_unit)
+        if not bool(np.asarray(hit.valid)[0]):
+            print(f"    [{label}] shadow ray escaped after {step} blockers "
+                  f"-> lit (atten={atten})")
+            return
+        t = float(np.asarray(hit.t)[0])
+        _, mat_idx, inst = hit_shading_attrs(geom, hit)
+        mat = int(np.asarray(mat_idx)[0])
+        print(f"    [{label}] shadow ray hit inst={int(np.asarray(inst)[0])} "
+              f"mat={mat} at t={t:.6f}")
+        if t > remaining:
+            print(f"    [{label}] blocker beyond the light "
+                  f"(t > {remaining:.6f}) -> lit")
+            return
+        kt = np.asarray(mats.kt[mat])
+        if not (kt > 0).any():
+            print(f"    [{label}] opaque blocker -> shadowed")
+            return
+        normal, _, _ = hit_shading_attrs(geom, hit)
+        exiting = float(np.asarray(rm.dot(normal, dir_unit))[0]) > 0.0
+        if exiting:
+            atten = atten * np.asarray(kt) ** t
+            print(f"    [{label}] exiting transmissive medium: "
+                  f"atten *= Kt^{t:.4f} -> {atten}")
+        else:
+            print(f"    [{label}] entering transmissive blocker — "
+                  f"continuing the march")
+        cur_o = cur_o + t * dir_unit
+        remaining -= t
+    print(f"    [{label}] march budget ({steps} steps) exhausted "
+          f"(shadow_steps)")
+
+
 def debug_cast(scene: Scene, camera: Camera, cfg: RenderConfig, x: int, y: int):
     """Trace pixel (x, y) verbosely.
 
@@ -72,6 +117,18 @@ def debug_cast(scene: Scene, camera: Camera, cfg: RenderConfig, x: int, y: int):
                 it["atten"] * trans_attenuation(kt, hit.t),
                 it["atten"],
             )
+            # narrate each light's shadow march (light.cu:38-40 analog)
+            hit_pt_n = it["o"] + hit.t[..., None] * it["d"]
+            for li in range(scene.lights.point_pos.shape[0]):
+                disp = scene.lights.point_pos[li] - hit_pt_n
+                dist = float(np.asarray(rm.norm(disp))[0])
+                _narrate_shadow_march(
+                    scene, geom, cast, cfg, hit_pt_n, rm.normalize(disp),
+                    dist, f"point light {li}")
+            for li in range(scene.lights.dir_dir.shape[0]):
+                mdir = rm.normalize(-scene.lights.dir_dir[li])[None, :]
+                _narrate_shadow_march(scene, geom, cast, cfg, hit_pt_n,
+                                      mdir, np.inf, f"dir light {li}")
             lum = illuminate(scene, geom, cast, cfg, it["o"], it["d"], hit,
                              normal, rmats, hit.valid)
             contrib = np.asarray(atten_eff * lum)[0]

@@ -302,27 +302,46 @@ def make_geom_sharded_cast(scene, cfg, shard):
     return cast
 
 
+def geom_sharded_render_rays(scene, cfg, shard, ro_b, rd_b,
+                             pixel_angle=None):
+    """Shading over the geometry-sharded merged cast — call inside shard_map
+    over a mesh with GEOM_AXIS.
+
+    The CAST runs against the device's LOCAL geometry shard (merged with one
+    all_gather+argmin); SHADING runs against the FULL (replicated) geometry,
+    because merged hits carry GLOBAL wtri ids — the edge-aware band's
+    ``band_tbl[hit.wtri]`` and any attribute gathers index the full tables
+    (small: per-world-triangle rows, KBs for the fixture worlds, vs the
+    instance tables/BVH the sharding actually partitions).
+
+    Fully differentiable: the merged pick is a gather whose backward routes
+    each hit's cotangents through the all_gather transpose to the OWNING
+    shard's cast, whose analytic VJP (reparam under edge_aware) scatters
+    vertex cotangents into its local triangle rows — and expand_geometry's
+    backward folds those into the SHARED ``scene.verts``, which the caller
+    psums over the mesh (VERDICT r3 next #4)."""
+    from .render.engine import render_rays_stats
+    from .render.geometry import expand_geometry
+
+    cast = make_geom_sharded_cast(scene, cfg, shard)
+    geom_full = expand_geometry(scene)
+    img, _ = render_rays_stats(scene, geom_full, cast, cfg, ro_b, rd_b,
+                               pixel_angle=pixel_angle)
+    return img
+
+
 def make_geom_sharded_render(scene, camera, cfg, mesh: Mesh):
     """Render with BOTH ray rows and scene instances partitioned over a 2-D
     (rays x geom) mesh: each device casts its ray block against its geometry
     shard; per-shard hits merge with one all_gather+argmin on the ICI geom
-    axis, shading runs on the merged hits.
+    axis, shading runs on the merged hits against the replicated small
+    per-triangle tables (geom_sharded_render_rays).
 
     Requires the Pallas engine (the merged Hit must carry normal+material;
-    the jnp oracle's attribute gathers would need the full geometry).  Merged
-    hits carry GLOBAL wtri ids while each device holds only its LOCAL geometry
-    shard, so any shading-side ``geom[wtri]`` gather would silently misindex —
-    edge-aware gradients (engine.py's hinge band gathers geom.a/b/c[wtri]) are
-    therefore rejected here."""
+    the jnp oracle's candidate cull would re-derive them from full
+    geometry)."""
     assert cfg.engine == "pallas", "geometry sharding needs the Pallas cast"
-    assert not cfg.edge_aware_grads, (
-        "edge_aware_grads gathers full-scene geometry by global wtri; "
-        "incompatible with geometry-sharded rendering (use ray sharding)"
-    )
-    import dataclasses
-
-    from .render.engine import render_rays
-    from .render.geometry import camera_rays, expand_geometry
+    from .render.geometry import camera_rays
 
     n_geom = mesh.shape[GEOM_AXIS]
     n_ray = mesh.shape[RAY_AXIS]
@@ -348,10 +367,7 @@ def make_geom_sharded_render(scene, camera, cfg, mesh: Mesh):
             # P(GEOM_AXIS) splits the stacked shard arrays to a size-1
             # leading axis per device; drop it.
             shard = jax.tree_util.tree_map(lambda x: x[0], shard)
-            cast = make_geom_sharded_cast(scene_, cfg_, shard)
-            local = _local_scene(scene_, shard)
-            geom = expand_geometry(local)
-            return render_rays(scene_, geom, cast, cfg_, ro_b, rd_b)
+            return geom_sharded_render_rays(scene_, cfg_, shard, ro_b, rd_b)
 
         return jax.shard_map(
             body, mesh=mesh,

@@ -180,8 +180,9 @@ def read_png_rgba_f32(path: str) -> np.ndarray:
     return read_png(path).astype(np.float32) / np.float32(255.0)
 
 
-def write_png(path: str, rgba: np.ndarray) -> None:
-    """Encode an RGB(A)8 (or float in [0,1]) array of shape [H, W, 3|4] as a PNG."""
+def encode_png(rgba: np.ndarray, level: int = 6) -> bytes:
+    """Encode an RGB(A)8 (or float in [0,1]) array of shape [H, W, 3|4] to
+    PNG bytes (in-memory; the live viewer streams these)."""
     arr = np.asarray(rgba)
     if arr.dtype != np.uint8:
         arr = np.clip(arr, 0.0, 1.0)
@@ -194,7 +195,7 @@ def write_png(path: str, rgba: np.ndarray) -> None:
     for y in range(h):
         raw.append(0)
         raw.extend(arr[y].tobytes())
-    comp = zlib.compress(bytes(raw), 6)
+    comp = zlib.compress(bytes(raw), level)
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
         body = ctype + payload
@@ -203,8 +204,11 @@ def write_png(path: str, rgba: np.ndarray) -> None:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return (_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp)
+            + chunk(b"IEND", b""))
+
+
+def write_png(path: str, rgba: np.ndarray) -> None:
+    """Encode an RGB(A)8 (or float in [0,1]) array of shape [H, W, 3|4] as a PNG."""
     with open(path, "wb") as fh:
-        fh.write(_MAGIC)
-        fh.write(chunk(b"IHDR", ihdr))
-        fh.write(chunk(b"IDAT", comp))
-        fh.write(chunk(b"IEND", b""))
+        fh.write(encode_png(rgba))

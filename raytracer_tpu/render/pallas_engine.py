@@ -1142,7 +1142,7 @@ def prepare_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig):
 
 
 def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
-                     tile_rows: int = 8, max_cand: int = 64,
+                     tile_rows: int = 0, max_cand: int = 64,
                      aux=None) -> CastFn:
     """Build the Pallas cast; tables are computed from (scene, geom) at trace
     time (or taken from a ``prepare_pallas_cast`` pytree) and live in VMEM for
@@ -1160,6 +1160,8 @@ def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
     (per-tile node visits, used by the O(log N) scaling test)."""
     if aux is None:
         aux = prepare_pallas_cast(scene, geom, cfg)
+    if tile_rows <= 0:
+        tile_rows = max(1, int(cfg.tile_rows))
     tables = aux["tables"]
     # occlusion may use box-fast-path tables even when casts need exact uv
     tables_o = aux.get("tables_occl")

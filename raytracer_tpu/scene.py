@@ -162,6 +162,14 @@ class RenderConfig:
     #               XLA cull, near-to-far) | "bvh" in-kernel stackless LBVH
     #               walk (O(log N) per occluder) | "auto" by instance count
     use_bvh: bool = True  # False == reference's -r brute-force fallback
+    tile_rows: int = 24  # Pallas kernel tile = tile_rows x 128 lanes; the
+    #               analog of the reference's -d kernel block edge
+    #               (src/main.cc:38, d x d threads/block ~ d^2/128 rows).
+    #               The CLI's -d maps onto this; bench sweeps it like the
+    #               reference's world*b*.png plots.  Default 24 measured
+    #               fastest on the fixture ladder (world8 4.1 -> 2.8 ms,
+    #               world16 12.6 -> 7.6 ms vs 8 rows: fewer grid steps beat
+    #               the coarser tile votes); must be a multiple of 8.
     ray_chunk: int = 16384  # rays per cast chunk (memory bound)
     pallas_ray_chunk: int = 1 << 19  # rays per Pallas kernel launch: one
     #               640x480 frame fits a single launch; 1080p splits into 4 so

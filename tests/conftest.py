@@ -22,6 +22,24 @@ if "xla_force_host_platform_device_count" not in flags:
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    A full single-process suite run compiles hundreds of large CPU programs
+    (8 virtual devices, wavefront loops); holding them all live has produced
+    LLVM aborts/segfaults in `backend_compile_and_load` late in the run.
+    Dropping the caches per module keeps the peak bounded (tests re-compile
+    what they need)."""
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
+
+
 REFERENCE_ROOT = "/root/reference"
 
 

@@ -75,5 +75,83 @@ def collective():
 
 
 csum = float(collective())
-print(f"RESULT pid={pid} frame_sum={total:.6f} collective={csum:.1f}",
+
+# ---- timed rows (VERDICT r3 next #3b): measure the cross-process (DCN-like
+# gRPC) coordination overhead of (1) the row-sharded render and (2) a psum'd
+# train step, against the same program on the LOCAL 2-device mesh (no
+# cross-process hop).  CPU absolute times are not ICI-representative; the
+# RATIO isolates what the 2-process coordination itself costs.
+import time  # noqa: E402
+
+from raytracer_tpu import diff  # noqa: E402
+
+
+def time_loop(fn, iters=5):
+    jax.block_until_ready(fn())
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        times.append(time.perf_counter() - t0)
+    return min(times) * 1e3
+
+
+def make_train(mesh_):
+    from jax import shard_map
+    params = diff.trainable_params(scene, camera, include_camera=False)
+    target = jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
+    n_px = float(target.size)
+    cfg_t = cfg.replace(early_exit=False)  # reverse-differentiable loops
+
+    @jax.jit
+    def step(p, tgt):
+        geom = expand_geometry(scene)
+        cast = make_cast(scene, geom, cfg_t)
+        ro, rd = camera_rays(camera, cfg.width, cfg.height)
+
+        def shard_loss(p_, ro_b, rd_b, tgt_b):
+            s, c = diff.merge_params(scene, camera, p_)
+            img = render_rays(s, geom, cast, cfg_t, ro_b, rd_b)
+            return jnp.sum((img - tgt_b) ** 2) / n_px
+
+        def body(p_, ro_b, rd_b, tgt_b):
+            g = jax.grad(shard_loss)(p_, ro_b, rd_b, tgt_b)
+            return jax.lax.psum(g, dist.RAY_AXIS)
+
+        g = shard_map(
+            body, mesh=mesh_,
+            in_specs=(P(), P(dist.RAY_AXIS), P(dist.RAY_AXIS),
+                      P(dist.RAY_AXIS)),
+            out_specs=P(), check_vma=False,
+        )(p, ro, rd, tgt)
+        return jax.tree_util.tree_map(lambda a: jnp.sum(jnp.abs(a)), g)
+
+    return lambda: step(params, target)
+
+
+def make_render(mesh_):
+    @jax.jit
+    def run_m():
+        geom = expand_geometry(scene)
+        cast = make_cast(scene, geom, cfg)
+        ro, rd = camera_rays(camera, cfg.width, cfg.height)
+        sh = jax.sharding.NamedSharding(mesh_, P(dist.RAY_AXIS, None, None))
+        ro = jax.lax.with_sharding_constraint(ro, sh)
+        rd = jax.lax.with_sharding_constraint(rd, sh)
+        img = render_rays(scene, geom, cast, cfg, ro, rd)
+        return jnp.sum(img)
+
+    return run_m
+
+
+global_render_ms = time_loop(make_render(mesh))
+global_train_ms = time_loop(make_train(mesh))
+local_mesh = dist.make_mesh(jax.local_devices())
+local_render_ms = time_loop(make_render(local_mesh))
+local_train_ms = time_loop(make_train(local_mesh))
+
+print(f"RESULT pid={pid} frame_sum={total:.6f} collective={csum:.1f} "
+      f"render2p_ms={global_render_ms:.2f} train2p_ms={global_train_ms:.2f} "
+      f"render_local_ms={local_render_ms:.2f} "
+      f"train_local_ms={local_train_ms:.2f}",
       flush=True)

@@ -215,6 +215,19 @@ def test_two_process_distributed_cluster():
     colls = [re.search(r"collective=([\d.]+)", o).group(1) for o in outs]
     assert sums[0] == sums[1], outs
     assert colls[0] == colls[1] == "1240.0", outs  # sum of squares 0..15
+    # coordination-overhead timing rows (VERDICT r3 next #3b): the worker
+    # times the row-sharded render and the psum train step on the global
+    # 2-process mesh AND on its local mesh; the ratio is the measured
+    # cross-process coordination cost (printed for ARCHITECTURE.md).
+    m = re.search(
+        r"render2p_ms=([\d.]+) train2p_ms=([\d.]+) "
+        r"render_local_ms=([\d.]+) train_local_ms=([\d.]+)", outs[0])
+    assert m, outs[0]
+    r2p, t2p, rl, tl = map(float, m.groups())
+    print(f"2-process coordination overhead: render {r2p:.1f}ms vs local "
+          f"{rl:.1f}ms ({r2p / rl:.2f}x), train step {t2p:.1f}ms vs local "
+          f"{tl:.1f}ms ({t2p / tl:.2f}x)")
+    assert r2p > 0 and t2p > 0 and rl > 0 and tl > 0
 
 
 def test_cyclic_balanced_render_matches(world1):
@@ -227,3 +240,78 @@ def test_cyclic_balanced_render_matches(world1):
     b = np.asarray(dist.make_sharded_render(scene, cam, cfg, mesh,
                                             balance="cyclic")())
     np.testing.assert_array_equal(a, b)
+
+
+def test_geom_sharded_train_step_matches_single():
+    """Geometry sharding must TRAIN (VERDICT r3 next #4): gradients through
+    the all_gather+argmin hit merge — materials, lights, camera, AND vertex
+    positions via the edge-aware band — must match the single-device
+    gradients.  2x4 (rays x geom) mesh, psum'd over both axes."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from raytracer_tpu import diff
+    from raytracer_tpu.render.geometry import camera_rays
+
+    w = generate("/root/reference/world8.json")
+    scene = device_scene(w.scene)
+    cam = jax.tree_util.tree_map(jnp.asarray, w.camera)
+    cfg = w.config.replace(width=64, height=64, engine="pallas",
+                           pallas_kernel="scalar", early_exit=False,
+                           edge_aware_grads=True)
+    params = diff.trainable_params(scene, cam, include_vertices=True)
+    target = jnp.zeros((64, 64, 4), jnp.float32)
+    n_px = float(target.size)
+
+    # single-device reference gradients
+    def loss_single(p):
+        s, c = diff.merge_params(scene, cam, p)
+        return diff.l2_image_loss(render_frame(s, c, cfg), target)
+
+    g_single = jax.jit(jax.grad(loss_single))(params)
+
+    mesh = dist.make_mesh2d(2, 4)
+    shards = dist.split_scene_by_instances(scene, 4)
+
+    @jax.jit
+    def grads_sharded(p):
+        def shard_loss(p_, shard, tgt_b):
+            shard = jax.tree_util.tree_map(lambda x: x[0], shard)
+            s, c = diff.merge_params(scene, cam, p_)
+            # rays from the MERGED camera (else cam grads vanish); each
+            # device slices its row block by its ray-axis index
+            ro, rd = camera_rays(c, 64, 64)
+            rows = 64 // mesh.shape[dist.RAY_AXIS]
+            i = jax.lax.axis_index(dist.RAY_AXIS)
+            ro_b = jax.lax.dynamic_slice_in_dim(ro, i * rows, rows, 0)
+            rd_b = jax.lax.dynamic_slice_in_dim(rd, i * rows, rows, 0)
+            pixel_angle = 1.0 / (cam.unit_to_pixels * cam.global_near)
+            img = dist.geom_sharded_render_rays(
+                s, cfg, shard, ro_b, rd_b, pixel_angle=pixel_angle)
+            return jnp.sum((img - tgt_b) ** 2) / n_px
+
+        def body(p_, shard, tgt_b):
+            g = jax.grad(shard_loss)(p_, shard, tgt_b)
+            # every geom-axis device computes the SAME merged-image loss for
+            # its ray block (the merge replicates hits over the geom axis),
+            # so all cotangents — shading paths directly, cast paths via the
+            # all_gather transpose's device sum — carry an extra factor of
+            # the geom axis size: psum over rays, pMEAN over geom.
+            return jax.lax.pmean(jax.lax.psum(g, dist.RAY_AXIS),
+                                 dist.GEOM_AXIS)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(dist.GEOM_AXIS), P(dist.RAY_AXIS)),
+            out_specs=P(),
+            check_vma=False,
+        )(p, shards, target)
+
+    g_shard = grads_sharded(params)
+    flat_s, _ = jax.tree_util.tree_flatten(g_single)
+    flat_d, _ = jax.tree_util.tree_flatten(g_shard)
+    assert sum(float(jnp.sum(jnp.abs(x))) for x in flat_s) > 0.0
+    for a, b in zip(flat_s, flat_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-7)
