@@ -303,6 +303,78 @@ def _recon_plane_hit(ro, rd, va, vb, vc, na, nb, nc):
     return t, uv, _rm.normalize(sn)
 
 
+def _pallas_chunked_occlude2(cfg, o1, d1, mt1, o2, d2, mt2, aux):
+    """Fused dual shadow query, chunked over rays; falls back to two
+    independent queries when the traversal has no fused kernel (cull)."""
+    from .pallas_engine import make_pallas_cast
+
+    inner = make_pallas_cast(None, None, cfg, aux=aux)
+    f = getattr(inner, "occlude2", None)
+    if f is None:
+        occ = _pallas_chunked_occlude
+        return (occ(cfg, o1, d1, mt1, aux), occ(cfg, o2, d2, mt2, aux))
+
+    batch_shape = o1.shape[:-1]
+
+    def flat(x):
+        return x.reshape(-1, 3)
+
+    o1f, d1f, o2f, d2f = flat(o1), flat(d1), flat(o2), flat(d2)
+    m1f = jnp.broadcast_to(mt1, batch_shape).reshape(-1)
+    m2f = jnp.broadcast_to(mt2, batch_shape).reshape(-1)
+    R = o1f.shape[0]
+    chunk = min(cfg.pallas_ray_chunk, R) if R else 1
+    Rp = -(-max(R, 1) // chunk) * chunk
+    pad = Rp - R
+    pad_mask = jnp.arange(Rp) >= R
+
+    def pado(x):  # origins park at 1e30 (ghost rays, see _chunked_over_rays)
+        return jnp.pad(x, ((0, pad), (0, 0)), constant_values=1.0e30)
+
+    def padd(x):
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        return jnp.where(pad_mask[:, None], jnp.array([0.0, 0.0, 1.0]), x)
+
+    o1f, d1f = pado(o1f), padd(d1f)
+    o2f, d2f = pado(o2f), padd(d2f)
+    m1f = jnp.pad(m1f, (0, pad))
+    m2f = jnp.pad(m2f, (0, pad))
+    n = Rp // chunk
+    if n == 1:
+        b1, b2 = f(o1f, d1f, m1f, o2f, d2f, m2f)
+    else:
+        def one(args):
+            return f(*args)
+
+        b1, b2 = jax.lax.map(
+            one, tuple(x.reshape((n, chunk) + x.shape[1:])
+                       for x in (o1f, d1f, m1f, o2f, d2f, m2f)))
+        b1 = b1.reshape(Rp)
+        b2 = b2.reshape(Rp)
+    return (b1[:R].reshape(batch_shape), b2[:R].reshape(batch_shape))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def pallas_occlude2_detached(cfg, o1, d1, mt1, o2, d2, mt2, aux):
+    """Fused dual any-hit query as an autodiff constant."""
+    return _pallas_chunked_occlude2(cfg, o1, d1, mt1, o2, d2, mt2, aux)
+
+
+def _occlude2_fwd(cfg, o1, d1, mt1, o2, d2, mt2, aux):
+    out = _pallas_chunked_occlude2(cfg, o1, d1, mt1, o2, d2, mt2, aux)
+    return out, (o1, d1, mt1, o2, d2, mt2, aux)
+
+
+def _occlude2_bwd(cfg, res, _g):
+    o1, d1, mt1, o2, d2, mt2, aux = res
+    return (jnp.zeros_like(o1), jnp.zeros_like(d1), jnp.zeros_like(mt1),
+            jnp.zeros_like(o2), jnp.zeros_like(d2), jnp.zeros_like(mt2),
+            _zeros_cot(aux))
+
+
+pallas_occlude2_detached.defvjp(_occlude2_fwd, _occlude2_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def pallas_cast_reparam(cfg, ro, rd, aux, geo):
     """Pallas cast with the full analytic (t, uv, normal)-VJP including

@@ -505,7 +505,8 @@ def make_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
         # inside the rules so no frame-sized operand reaches the compiler in
         # one piece (VERDICT r1 #1).
         from .cast_vjp import (pack_reparam_geo, pallas_cast_detached,
-                               pallas_cast_reparam, pallas_occlude_detached)
+                               pallas_cast_reparam, pallas_occlude2_detached,
+                               pallas_occlude_detached)
 
         if aux is None:
             from .pallas_engine import prepare_pallas_cast
@@ -530,6 +531,13 @@ def make_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
             return pallas_occlude_detached(cfg, ro, rd, max_t, _aux)
 
         wrapped.occlude = occlude
+
+        if cfg.fused_shadows:
+            def occlude2(o1, d1, mt1, o2, d2, mt2, _aux=aux):
+                return pallas_occlude2_detached(cfg, o1, d1, mt1, o2, d2,
+                                                mt2, _aux)
+
+            wrapped.occlude2 = occlude2
         return wrapped
     if cfg.use_bvh:
         return make_culled_cast(

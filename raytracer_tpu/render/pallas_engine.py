@@ -1030,6 +1030,75 @@ def _bvh_occlude_kernel(order_ref, nodes_ref, inst_f_ref, inst_i_ref,
     blk_out[:] = blk
 
 
+def _bvh_occlude2_kernel(order_ref, nodes_ref, inst_f_ref, inst_i_ref,
+                         tmpl_ref, o1x_ref, o1y_ref, o1z_ref,
+                         d1x_ref, d1y_ref, d1z_ref,
+                         o2x_ref, o2y_ref, o2z_ref,
+                         d2x_ref, d2y_ref, d2z_ref,
+                         mt1_ref, mt2_ref, blk1_out, blk2_out,
+                         *, n_leaves: int, max_tris: int):
+    """FUSED dual-query any-hit LBVH walk: both shadow queries of a
+    two-light round share ONE preorder node walk (the roofline's "fewer
+    queries" lever — per-node stepping, node loads, and the subtree-skip
+    logic amortize over both lights; the union of the two node sets is
+    smaller than their sum when the lights see similar geometry).  The
+    descend vote is the union of the per-query votes; each query's leaf
+    update is gated by its own vote, so results are identical to two
+    independent walks."""
+    total = 2 * n_leaves - 1
+
+    o1 = (o1x_ref[:], o1y_ref[:], o1z_ref[:])
+    d1 = (d1x_ref[:], d1y_ref[:], d1z_ref[:])
+    o2 = (o2x_ref[:], o2y_ref[:], o2z_ref[:])
+    d2 = (d2x_ref[:], d2y_ref[:], d2z_ref[:])
+    par1, inv1 = _ray_recips(*d1)
+    par2, inv2 = _ray_recips(*d2)
+    mt1 = mt1_ref[:]
+    mt2 = mt2_ref[:]
+    rays1 = o1 + d1
+    rays2 = o2 + d2
+    refs = (inst_f_ref, inst_i_ref, tmpl_ref)
+
+    def body(carry):
+        v, blk1, blk2 = carry
+        flat = total - v
+        node_ok = nodes_ref[flat, 6] > 0.0
+
+        tns1, tfs1, in1 = _slab_terms(nodes_ref, flat, *o1, *inv1, *par1, 0)
+        tmin1 = jnp.maximum(jnp.maximum(tns1[0], tns1[1]), tns1[2])
+        tmax1 = jnp.minimum(jnp.minimum(tfs1[0], tfs1[1]), tfs1[2])
+        hit1 = ((tmin1 <= tmax1) & (tmax1 >= rm.THRESHOLD) & (blk1 == 0)
+                & (tmin1 <= mt1) & in1)
+        tns2, tfs2, in2 = _slab_terms(nodes_ref, flat, *o2, *inv2, *par2, 0)
+        tmin2 = jnp.maximum(jnp.maximum(tns2[0], tns2[1]), tns2[2])
+        tmax2 = jnp.minimum(jnp.minimum(tfs2[0], tfs2[1]), tfs2[2])
+        hit2 = ((tmin2 <= tmax2) & (tmax2 >= rm.THRESHOLD) & (blk2 == 0)
+                & (tmin2 <= mt2) & in2)
+        vote1 = jnp.any(hit1) & node_ok
+        vote2 = jnp.any(hit2) & node_ok
+        vote = vote1 | vote2
+        is_leaf = v >= n_leaves
+
+        i_raw = order_ref[jnp.minimum(flat, n_leaves - 1)]
+        leaf_ok = is_leaf & (i_raw >= 0)
+        i = jnp.maximum(i_raw, 0)
+        blk1 = _occlude_instance(i, vote1 & leaf_ok, tns1, tfs1, in1, rays1,
+                                 mt1, refs, blk1, max_tris)
+        blk2 = _occlude_instance(i, vote2 & leaf_ok, tns2, tfs2, in2, rays2,
+                                 mt2, refs, blk2, max_tris)
+        v_next = jnp.where(vote & ~is_leaf, 2 * v, _skip_next(v))
+        return v_next, blk1, blk2
+
+    def cond(carry):
+        v, blk1, blk2 = carry
+        return (v > 0) & (jnp.any(blk1 == 0) | jnp.any(blk2 == 0))
+
+    blk0 = jnp.zeros_like(o1x_ref[:], dtype=jnp.int32)
+    _, blk1, blk2 = jax.lax.while_loop(cond, body, (jnp.int32(1), blk0, blk0))
+    blk1_out[:] = blk1
+    blk2_out[:] = blk2
+
+
 def _occlude_kernel(cand_ref, info_ref, inst_f_ref, inst_i_ref, tmpl_ref,
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, mt_ref,
                     blk_out, *, n_inst: int, max_tris: int):
@@ -1329,4 +1398,38 @@ def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
         return (blk.reshape(rp)[:r] > 0).reshape(batch_shape)
 
     cast.occlude = occlude
+
+    if use_walk:
+        bvh_occ2_kernel = functools.partial(
+            _bvh_occlude2_kernel, n_leaves=n_leaves, max_tris=max_tris
+        )
+
+        def occlude2(o1, d1, mt1, o2, d2, mt2):
+            """Fused dual shadow query (see _bvh_occlude2_kernel); results
+            equal two independent ``occlude`` calls."""
+            batch_shape = o1.shape[:-1]
+            c1, r, rp, rows = _pad_rays(o1, d1, tile)
+            c2, _, _, _ = _pad_rays(o2, d2, tile)
+
+            def padm(mt):
+                m = jnp.broadcast_to(mt, batch_shape).reshape(-1)
+                return jnp.pad(m, (0, rp - r)).reshape(rows, LANES)
+
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(rows // tile_rows,),
+                in_specs=[table_spec] * 4 + [ray_spec] * 14,
+                out_specs=[out_spec] * 2,
+            )
+            blk1, blk2 = pl.pallas_call(
+                bvh_occ2_kernel,
+                grid_spec=grid_spec,
+                out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] * 2,
+                interpret=interp,
+            )(ordering, nodes, tables_o.inst_f32, tables_o.inst_i32,
+              tables_o.tmpl, *c1, *c2, padm(mt1), padm(mt2))
+            return ((blk1.reshape(rp)[:r] > 0).reshape(batch_shape),
+                    (blk2.reshape(rp)[:r] > 0).reshape(batch_shape))
+
+        cast.occlude2 = occlude2
     return cast

@@ -202,6 +202,44 @@ def illuminate(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderCo
         kd_override = jnp.where(degenerate[..., None], rmats.kd, tex)
 
     n_point = scene.lights.point_pos.shape[0]
+    n_dir = scene.lights.dir_dir.shape[0]
+
+    occ2 = getattr(cast_fn, "occlude2", None)
+    if (cfg.fused_shadows and not cfg.any_refractive and n_point == 1
+            and n_dir == 1 and occ2 is not None):
+        # FUSED two-light round: one dual-query LBVH walk answers both
+        # shadow queries (bit-identical to the per-light marches — the
+        # opaque fast path is a single occlusion test per light).
+        from jax.ad_checkpoint import checkpoint_name
+
+        far = jnp.float32(1e30)
+        o_park = jnp.where(active[..., None], hit_pos, far)
+        lpos = scene.lights.point_pos[0]
+        lcol1 = scene.lights.point_col[0]
+        disp = lpos - hit_pos
+        dist = rm.norm(disp)
+        dir1 = rm.normalize(disp)
+        ldir = scene.lights.dir_dir[0]
+        dir_to_light2 = -ldir  # raw, possibly non-unit (light.cu:74-77)
+        dir2 = jnp.broadcast_to(rm.normalize(dir_to_light2), hit_pos.shape)
+        b1, b2 = occ2(o_park + rm.THRESHOLD * dir1, dir1, dist,
+                      o_park + rm.THRESHOLD * dir2, dir2, jnp.inf)
+        b1 = checkpoint_name(active & b1, "shadow_occl")
+        b2 = checkpoint_name(active & b2, "shadow_occl")
+        datten = distance_attenuation(scene, dist)
+        incoming1 = datten[..., None] * jnp.where(
+            b1[..., None], 0.0,
+            jnp.broadcast_to(lcol1, hit_pos.shape[:-1] + (4,)))
+        col = col + phong_term(rmats, incoming1, ray_d, dir1, normal,
+                               kd_override)
+        lcol2 = scene.lights.dir_col[0]
+        incoming2 = jnp.where(
+            b2[..., None], 0.0,
+            jnp.broadcast_to(lcol2, hit_pos.shape[:-1] + (4,)))
+        col = col + phong_term(rmats, incoming2, ray_d, dir_to_light2,
+                               normal, kd_override)
+        return col
+
     for i in range(n_point):
         lpos = scene.lights.point_pos[i]
         lcol = scene.lights.point_col[i]
@@ -215,7 +253,6 @@ def illuminate(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderCo
         col = col + phong_term(rmats, incoming, ray_d, dir_to_light,
                                normal, kd_override)
 
-    n_dir = scene.lights.dir_dir.shape[0]
     for i in range(n_dir):
         ldir = scene.lights.dir_dir[i]
         lcol = scene.lights.dir_col[i]

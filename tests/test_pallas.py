@@ -255,3 +255,22 @@ def test_box_detection_world8(world8):
     scene2 = dataclasses.replace(scene, verts=jnp.asarray(verts))
     is_box2, _, _, _, _ = pe._detect_box_meshes(scene2)
     assert not bool(np.asarray(is_box2)[0])
+
+
+def test_fused_dual_light_occlusion_matches():
+    """cfg.fused_shadows merges a two-light round's shadow queries into one
+    dual-query LBVH walk; frames must be bit-identical to the per-light
+    occlusion path (world8: 1 point + 1 dir light, opaque)."""
+    from raytracer_tpu import generate
+    from raytracer_tpu.render import render_frame
+    from raytracer_tpu.scene import device_scene
+
+    w = generate("/root/reference/world8.json")
+    scene = device_scene(w.scene)
+    cam = jax.tree_util.tree_map(jnp.asarray, w.camera)
+    cfg = w.config.replace(width=160, height=96, engine="pallas",
+                           pallas_kernel="scalar", pallas_traversal="bvh")
+    base = np.asarray(render_frame(scene, cam, cfg))
+    fused = np.asarray(render_frame(
+        scene, cam, cfg.replace(fused_shadows=True)))
+    np.testing.assert_array_equal(base, fused)
