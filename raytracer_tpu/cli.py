@@ -8,10 +8,12 @@ Reference flags -> ours:
   -s/--reference-impl : use the pure-jnp oracle engine (the analog of the
                   reference's serial CPU path)
   -d/--dim      : kernel tile size knob (main.cc:38's d x d block edge): maps
-                  to RenderConfig.tile_rows = max(1, d*d/128) — the Pallas
-                  kernel tile is tile_rows x 128 lanes.  Unset keeps the
-                  engine default (8 rows = 1024 lanes = one 32x32 screen
-                  block).  Swept by the bench's d-sweep like world*b*.png
+                  to RenderConfig.tile_rows = d*d/128 rounded UP to a
+                  multiple of 8 with an 8-row floor (Mosaic requires the
+                  sublane dim in multiples of 8), so -d <= 32 all yield 8
+                  rows (1024 lanes) and -d 64 yields 32 rows.  Unset keeps
+                  the engine default (24 rows = 3072 lanes).  Swept by the
+                  bench's d-sweep like world*b*.png
 
 The SDL window is replaced by a PNG framebuffer dump (``--out``); interactive
 viewing on a TPU pod host is out of scope (SURVEY.md §7.9).  ``--debug-pixel X Y``
@@ -42,8 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "-d", "--dim", type=int, default=None,
-        help="kernel tile edge (reference -d): Pallas tile rows = "
-             "max(1, d*d/128); unset = engine default (d=32 equivalent)",
+        help="kernel tile edge (reference -d): Pallas tile rows = d*d/128 "
+             "rounded up to a multiple of 8, floor 8 (so d<=32 -> 8 rows, "
+             "d=64 -> 32 rows); unset = engine default (24 rows)",
     )
     p.add_argument("-o", "--out", default=None, help="output PNG path")
     p.add_argument("--width", type=int, default=None, help="override canvas width")
@@ -79,6 +82,25 @@ def build_parser() -> argparse.ArgumentParser:
              "scene's materials/lights to --target-png, or to a perturbed "
              "self-render when no target is given); emits one JSON stats "
              "line per step and checkpoints to --checkpoint",
+    )
+    p.add_argument(
+        "--train-until", type=int, default=0, metavar="TOTAL",
+        help="train to ABSOLUTE step TOTAL (idempotent across restarts: a "
+             "resumed run recomputes only the steps after its checkpoint; "
+             "already-finished runs exit immediately).  Overrides --train's "
+             "relative count",
+    )
+    p.add_argument(
+        "--elastic", type=int, default=0, metavar="MAX_RESTARTS",
+        help="run --train under the elastic supervisor: the loop runs in a "
+             "worker subprocess whose train_step heartbeat is monitored; on "
+             "a crash or a hang the worker is killed (by exact PID) and "
+             "relaunched from the last checkpoint, up to MAX_RESTARTS times "
+             "(use with --train-until for an absolute target)",
+    )
+    p.add_argument(
+        "--hang-timeout", type=float, default=300.0, metavar="S",
+        help="--elastic: restart the worker if no heartbeat for S seconds",
     )
     p.add_argument("--target-png", default=None,
                    help="target image for --train (RGBA PNG)")
@@ -157,6 +179,17 @@ def _train(args, scene, camera, cfg) -> int:
     if os.path.exists(args.checkpoint):
         params, start = checkpoint.load(args.checkpoint, params)
         tracing.log("checkpoint_restored", path=args.checkpoint, step=start)
+    end = args.train_until if args.train_until else start + args.train
+    if start >= end:
+        print(f"already trained to step {start} (target {end}); nothing to do")
+        return 0
+
+    # One-shot fault injection for the elastic-recovery tests: crash (or
+    # hang) the worker once, right after reaching the given step, guarded by
+    # a marker file so the restarted worker proceeds cleanly.
+    fault_at = int(os.environ.get("RT_FAULT_AT_STEP", "0") or 0)
+    hang_at = int(os.environ.get("RT_HANG_AT_STEP", "0") or 0)
+    marker = os.environ.get("RT_FAULT_MARKER", "")
 
     @jax.jit
     def step_fn(params_):
@@ -170,24 +203,59 @@ def _train(args, scene, camera, cfg) -> int:
     if ctx is not None:
         ctx.__enter__()
     try:
-        for step in range(start, start + args.train):
+        for step in range(start, end):
             with stats:
                 value, grads, params = step_fn(params)
                 value = float(value)
             tracing.log("train_step", step=step, loss=value)
-            if (step + 1) % args.checkpoint_every == 0 or \
-                    step + 1 == start + args.train:
+            if (step + 1) % args.checkpoint_every == 0 or step + 1 == end:
                 checkpoint.save(args.checkpoint, params, step=step + 1)
+            if marker and step + 1 in (fault_at, hang_at) and \
+                    not os.path.exists(marker):
+                open(marker, "w").close()
+                if step + 1 == fault_at:
+                    tracing.log("fault_injected", kind="crash", step=step + 1)
+                    os._exit(13)  # simulated preemption/watchdog kill
+                tracing.log("fault_injected", kind="hang", step=step + 1)
+                time.sleep(3600)  # simulated wedged worker
     finally:
         if ctx is not None:
             ctx.__exit__(None, None, None)
-    print(f"trained {args.train} steps; final loss {value:.6f}; "
+    print(f"trained {end - start} steps; final loss {value:.6f}; "
           f"checkpoint -> {args.checkpoint}")
     return 0
 
 
+def _strip_elastic_flags(argv):
+    """Worker argv = the original argv minus the supervisor-only flags."""
+    out = []
+    skip = False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a in ("--elastic", "--hang-timeout"):
+            skip = True
+            continue
+        if a.startswith("--elastic=") or a.startswith("--hang-timeout="):
+            continue
+        out.append(a)
+    return out
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.elastic > 0 and (args.train or args.train_until):
+        # failure detection + elastic recovery: supervise the training loop
+        # in a worker subprocess (see elastic.py)
+        from .elastic import run_supervised
+
+        worker_argv = _strip_elastic_flags(
+            list(argv) if argv is not None else sys.argv[1:])
+        res = run_supervised(worker_argv, max_restarts=args.elastic,
+                             hang_timeout_s=args.hang_timeout)
+        return 0 if res.completed else 1
 
     import jax
     import jax.numpy as jnp
@@ -232,7 +300,7 @@ def main(argv=None) -> int:
         debug_cast(scene, camera, cfg, x, y)
         return 0
 
-    if args.train:
+    if args.train or args.train_until:
         return _train(args, scene, camera, cfg)
 
     render = jax.jit(render_frame, static_argnames=("cfg",))

@@ -94,9 +94,18 @@ def make_loss_fn(scene: Scene, camera: Camera, cfg: RenderConfig, target,
 
 def make_spp_grad_fn(scene: Scene, camera: Camera, cfg: RenderConfig,
                      spp: int, spp_chunk: int | None = None,
-                     remat: bool = True) -> Callable:
+                     remat: bool = True,
+                     with_stats: bool = False) -> Callable:
     """Build ``step(params, target) -> (loss, grads)`` computing the EXACT
     full-image L2 gradient at ``spp`` samples per pixel.
+
+    ``with_stats=True`` returns ``(loss, grads, {"dropped": i32})`` instead:
+    the summed wavefront/kept-tile drop counter across all spp samples.
+    When ``cfg.static_tile_cap`` was probe-derived at the INITIAL camera and
+    the camera/geometry then move during training, occupancy can exceed the
+    cap and radiance is silently deleted inside the gradient — training
+    loops should assert/log ``dropped == 0`` (ADVICE r4 medium; mirrors
+    render_frame_with_stats).
 
     ``spp_chunk=None`` (or >= spp): ONE jitted ``value_and_grad`` program —
     the spp axis is a lax.scan with per-sample rematerialization
@@ -122,16 +131,27 @@ def make_spp_grad_fn(scene: Scene, camera: Camera, cfg: RenderConfig,
 
     def render_chunk(p, offs_c):
         s, c = merge_params(scene, camera, p)
-        return render_frame_sum(s, c, cfg1, offs_c, remat=remat)
+        return render_frame_sum(s, c, cfg1, offs_c, remat=remat,
+                                with_stats=True)
 
     if n_chunks == 1:
         @jax.jit
-        def step(params, target):
+        def step_stats(params, target):
             def loss_fn(p):
-                img = render_chunk(p, offs) / spp
-                return l2_image_loss(img, target)
+                img_sum, stats = render_chunk(p, offs)
+                img = img_sum / spp
+                return l2_image_loss(img, target), stats["dropped"]
 
-            return jax.value_and_grad(loss_fn)(params)
+            (loss, dropped), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            return loss, grads, {"dropped": dropped}
+
+        if with_stats:
+            return step_stats
+
+        def step(params, target):
+            loss, grads, _ = step_stats(params, target)
+            return loss, grads
 
         return step
 
@@ -140,13 +160,16 @@ def make_spp_grad_fn(scene: Scene, camera: Camera, cfg: RenderConfig,
 
     @jax.jit
     def bwd(p, offs_c, g_img):
-        _, pull = jax.vjp(lambda p_: render_chunk(p_, offs_c), p)
+        _, pull = jax.vjp(lambda p_: render_chunk(p_, offs_c)[0], p)
         return pull(g_img)[0]
 
-    def step(params, target):
-        acc = fwd(params, chunks[0])
+    def step_stats(params, target):
+        acc, st = fwd(params, chunks[0])
+        dropped = st["dropped"]
         for i in range(1, n_chunks):
-            acc = acc + fwd(params, chunks[i])
+            a, st = fwd(params, chunks[i])
+            acc = acc + a
+            dropped = dropped + st["dropped"]
         img = acc / spp
         loss = l2_image_loss(img, target)
         g_img = 2.0 * (img - target) / (img.size * spp)
@@ -155,6 +178,13 @@ def make_spp_grad_fn(scene: Scene, camera: Camera, cfg: RenderConfig,
             grads = jax.tree_util.tree_map(
                 jnp.add, grads, bwd(params, chunks[i], g_img)
             )
+        return loss, grads, {"dropped": dropped}
+
+    if with_stats:
+        return step_stats
+
+    def step(params, target):
+        loss, grads, _ = step_stats(params, target)
         return loss, grads
 
     return step

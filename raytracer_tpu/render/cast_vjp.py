@@ -216,6 +216,28 @@ def _zeros_cot(tree):
     return jax.tree_util.tree_map(z, tree)
 
 
+def _meta_of(tree):
+    """Shape/dtype-only skeleton of a pytree — residual metadata for
+    backward rules that emit pure-zero cotangents.  Saving the arrays
+    themselves would keep frame-sized ray batches and the whole scene-table/
+    LBVH pytree alive as residuals for no purpose (ADVICE r4)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        tree)
+
+
+def _zeros_from_meta(meta):
+    """Zero cotangents from a ``_meta_of`` skeleton (float0 for int/bool)."""
+
+    def z(s):
+        if jnp.issubdtype(s.dtype, jnp.floating) or jnp.issubdtype(
+                s.dtype, jnp.complexfloating):
+            return jnp.zeros(s.shape, s.dtype)
+        return np.zeros(s.shape, jax.dtypes.float0)
+
+    return jax.tree_util.tree_map(z, meta)
+
+
 def _pallas_chunked_cast(cfg, ro, rd, aux):
     from .cast import _chunked_over_rays
     from .pallas_engine import make_pallas_cast
@@ -272,14 +294,12 @@ def pallas_occlude_detached(cfg, ro, rd, max_t, aux):
 
 
 def _occlude_fwd(cfg, ro, rd, max_t, aux):
-    return _pallas_chunked_occlude(cfg, ro, rd, max_t, aux), (ro, rd, max_t,
-                                                              aux)
+    return (_pallas_chunked_occlude(cfg, ro, rd, max_t, aux),
+            _meta_of((ro, rd, max_t, aux)))
 
 
 def _occlude_bwd(cfg, res, _g):
-    ro, rd, max_t, aux = res
-    return (jnp.zeros_like(ro), jnp.zeros_like(rd), jnp.zeros_like(max_t),
-            _zeros_cot(aux))
+    return _zeros_from_meta(res)
 
 
 pallas_occlude_detached.defvjp(_occlude_fwd, _occlude_bwd)
@@ -362,14 +382,11 @@ def pallas_occlude2_detached(cfg, o1, d1, mt1, o2, d2, mt2, aux):
 
 def _occlude2_fwd(cfg, o1, d1, mt1, o2, d2, mt2, aux):
     out = _pallas_chunked_occlude2(cfg, o1, d1, mt1, o2, d2, mt2, aux)
-    return out, (o1, d1, mt1, o2, d2, mt2, aux)
+    return out, _meta_of((o1, d1, mt1, o2, d2, mt2, aux))
 
 
 def _occlude2_bwd(cfg, res, _g):
-    o1, d1, mt1, o2, d2, mt2, aux = res
-    return (jnp.zeros_like(o1), jnp.zeros_like(d1), jnp.zeros_like(mt1),
-            jnp.zeros_like(o2), jnp.zeros_like(d2), jnp.zeros_like(mt2),
-            _zeros_cot(aux))
+    return _zeros_from_meta(res)
 
 
 pallas_occlude2_detached.defvjp(_occlude2_fwd, _occlude2_bwd)

@@ -53,7 +53,11 @@ def trans_attenuation(kt, time):
     return _rm.safe_pow(jnp.maximum(time, 0.0)[..., None], kt)
 
 
-TILE_LANES = 1024  # rays per cast tile (= BLOCK*BLOCK = tile_rows*LANES)
+# Rays per ENGINE screen tile (= BLOCK*BLOCK): the granularity of the
+# wavefront queue, tile votes, and tile-compaction bookkeeping.  Distinct
+# from the Pallas KERNEL tile (cfg.tile_rows * 128 lanes, default 24 rows =
+# 3072 lanes), which may span several engine tiles per grid step.
+TILE_LANES = 1024
 
 
 def radiance(scene: Scene, geom: WorldGeometry, cast_fn: CastFn, cfg: RenderConfig,
@@ -693,7 +697,7 @@ def render_frame(scene: Scene, camera: Camera, cfg: RenderConfig):
 
 
 def render_frame_sum(scene: Scene, camera: Camera, cfg: RenderConfig, offs,
-                     remat: bool = True):
+                     remat: bool = True, with_stats: bool = False):
     """SUM of jittered sample frames for an explicit offset batch [k, 2].
 
     The microbatch building block for spp gradient accumulation
@@ -703,13 +707,22 @@ def render_frame_sum(scene: Scene, camera: Camera, cfg: RenderConfig, offs,
     same per-sample clamp, same per-pixel decorrelation shift.
 
     ``remat=False`` skips the per-sample jax.checkpoint (callers that bound
-    backward memory by the chunk size instead)."""
+    backward memory by the chunk size instead).
+
+    ``with_stats=True`` also returns ``{"dropped": i32}`` — wavefront/child
+    drops over the batch plus kept-tile-probe drops (counted once per
+    sample, like render_frame_with_stats).  Nonzero means the static tile
+    cap deleted radiance INSIDE the gradient path — training loops must
+    surface it, not swallow it (ADVICE r4 medium)."""
     geom = expand_geometry(scene)
     aux = prepare_cast(scene, geom, cfg)
     _, shift = spp_jitter_grid(2, cfg.width, cfg.height)
-    lane, _ = _spp_lane(scene, geom, aux, camera, cfg)
-    acc, _ = _scan_samples(scene, geom, aux, camera, cfg, offs, shift,
-                           remat=remat, lane=lane)
+    lane, probe_drops = _spp_lane(scene, geom, aux, camera, cfg)
+    acc, drops = _scan_samples(scene, geom, aux, camera, cfg, offs, shift,
+                               remat=remat, lane=lane)
+    if with_stats:
+        k = offs.shape[0]
+        return acc, {"dropped": drops + k * probe_drops}
     return acc
 
 

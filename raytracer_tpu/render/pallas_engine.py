@@ -1230,7 +1230,13 @@ def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
     if aux is None:
         aux = prepare_pallas_cast(scene, geom, cfg)
     if tile_rows <= 0:
-        tile_rows = max(1, int(cfg.tile_rows))
+        tile_rows = int(cfg.tile_rows)
+    if tile_rows <= 0 or tile_rows % 8 != 0:
+        # surface a clear error here rather than an opaque Mosaic lowering
+        # failure deep inside pallas_call (ADVICE r4)
+        raise ValueError(
+            f"tile_rows must be a positive multiple of 8 (Mosaic sublane "
+            f"requirement), got {tile_rows}")
     tables = aux["tables"]
     # occlusion may use box-fast-path tables even when casts need exact uv
     tables_o = aux.get("tables_occl")

@@ -310,3 +310,35 @@ class TestDropSurfacing:
         scene, cam, cfg = self._world8(spp=2, static_tile_cap=1e-9)
         _, stats = render_frame_with_stats(scene, cam, cfg)
         assert int(stats["dropped"]) > 0
+
+    def test_spp_grad_fn_stats_surface_drops(self):
+        """make_spp_grad_fn(with_stats=True) must report the drop counter
+        through the GRADIENT path (ADVICE r4 medium): a tiny static tile cap
+        surfaces dropped > 0, auto caps give 0, and (loss, grads) are
+        identical to the stats-free variant either way."""
+        from raytracer_tpu import diff
+        from raytracer_tpu.render import auto_tile_caps
+
+        scene, cam, cfg = self._world8(spp=2, static_tile_cap=1e-9)
+        params = diff.trainable_params(scene, cam, include_camera=False)
+        target = jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
+
+        step_s = diff.make_spp_grad_fn(scene, cam, cfg, spp=2,
+                                       with_stats=True)
+        loss_s, grads_s, stats = step_s(params, target)
+        assert int(stats["dropped"]) > 0
+
+        step = diff.make_spp_grad_fn(scene, cam, cfg, spp=2)
+        loss, grads = step(params, target)
+        np.testing.assert_allclose(float(loss), float(loss_s), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(grads),
+                        jax.tree_util.tree_leaves(grads_s)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        cfg0 = cfg.replace(static_tile_cap=auto_tile_caps(
+            scene, cam, cfg)["static_tile_cap"])
+        # chunked host-loop path must report stats too
+        step_c = diff.make_spp_grad_fn(scene, cam, cfg0, spp=2, spp_chunk=1,
+                                       with_stats=True)
+        _, _, stats0 = step_c(params, target)
+        assert int(stats0["dropped"]) == 0

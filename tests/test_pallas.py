@@ -274,3 +274,33 @@ def test_fused_dual_light_occlusion_matches():
     fused = np.asarray(render_frame(
         scene, cam, cfg.replace(fused_shadows=True)))
     np.testing.assert_array_equal(base, fused)
+
+
+def test_fused_dual_light_occlusion_gradients_match():
+    """The fused dual-query shadow path must also agree in REVERSE mode: the
+    gradient of the mean image wrt materials + light colors + camera pose is
+    identical (to f32 tolerance) whether the two shadow queries run fused
+    (pallas_occlude2_detached, with its scalar jnp.inf max_t cotangent) or
+    per-light.  Guards the occlude2 custom_vjp zero-cotangent rule, which a
+    forward bit-identity test cannot see (ADVICE r4)."""
+    from raytracer_tpu import diff
+    from raytracer_tpu.scene import device_scene
+
+    w = generate("/root/reference/world8.json")
+    scene = device_scene(w.scene)
+    cam = jax.tree_util.tree_map(jnp.asarray, w.camera)
+    cfg = w.config.replace(width=96, height=64, engine="pallas",
+                           pallas_kernel="scalar", pallas_traversal="bvh")
+    params = diff.trainable_params(scene, cam)
+    target = jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
+
+    def grads_for(c):
+        loss_fn = diff.make_loss_fn(scene, cam, c, target)
+        return jax.jit(jax.grad(loss_fn))(params)
+
+    g_base = grads_for(cfg)
+    g_fused = grads_for(cfg.replace(fused_shadows=True))
+    for leaf_b, leaf_f in zip(jax.tree_util.tree_leaves(g_base),
+                              jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(leaf_b), np.asarray(leaf_f),
+                                   rtol=1e-5, atol=1e-6)
