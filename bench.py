@@ -347,9 +347,14 @@ def vertex_fd_check(width=96, height=72, spp=8):
     )
     # close-up 35-degree-yaw viewpoint (the committed test's fixture): the
     # cube fills a good fraction of the frame and no face is edge-on
-    geom = expand_geometry(scene)
-    center = (geom.aabb_min.min(0) + geom.aabb_max.max(0)) / 2
-    radius = float(jnp.max(geom.aabb_max.max(0) - geom.aabb_min.min(0))) / 2
+    @jax.jit
+    def _aabb():  # expand_geometry inside jit: relay round-trip economy
+        geom = expand_geometry(scene)
+        return geom.aabb_min.min(0), geom.aabb_max.max(0)
+
+    lo, hi = _aabb()
+    center = (lo + hi) / 2
+    radius = float(jnp.max(hi - lo)) / 2
     qy = rm.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]),
                                  jnp.float32(35 * np.pi / 180))
     rot = rm.quat_normalize(rm.quat_mul(qy, jnp.asarray(w.camera.rot)))
@@ -429,10 +434,6 @@ def consistency_check(width=256, height=192):
 
     w, scene, camera, cfg = _load("/root/reference/world8.json",
                                   width=width, height=height)
-    geom = expand_geometry(scene)
-    ro, rd = camera_rays(camera, width, height)
-    ro = ro.reshape(-1, 3)
-    rd = rd.reshape(-1, 3)
 
     hits = {}
     for name, over in (
@@ -440,8 +441,18 @@ def consistency_check(width=256, height=192):
         ("bvh", dict(pallas_traversal="bvh")),
         ("mxu", dict(pallas_kernel="mxu")),
     ):
-        cast = jax.jit(make_cast(scene, geom, cfg.replace(**over)))
-        h = cast(ro, rd)
+        cfg2 = cfg.replace(**over)
+
+        # geometry/ray/table prep INSIDE one jit per engine: eager prep
+        # through the TPU relay costs ~70 s of small-op round-trips
+        @jax.jit
+        def run(cfg2=cfg2):
+            geom = expand_geometry(scene)
+            ro, rd = camera_rays(camera, width, height)
+            cast = make_cast(scene, geom, cfg2)
+            return cast(ro.reshape(-1, 3), rd.reshape(-1, 3))
+
+        h = run()
         hits[name] = (np.asarray(h.valid), np.asarray(h.t),
                       np.asarray(h.mat) if h.mat is not None else None)
 
@@ -535,17 +546,22 @@ def _item_world8_stress_1080p_spp128():
 
 def _item_world8_stress_geomgrad():
     # BASELINE configs[4] as specified: geometry+camera gradients (vertex
-    # positions via the edge-aware band + analytic uv-VJP) at 1080p 128 spp,
-    # plus an on-chip central-difference sanity for one vertex coordinate.
+    # positions via the edge-aware band + analytic uv-VJP) at 1080p 128 spp.
     ms, mrays = bench_fwd_bwd_spp(
         "/root/reference/world8_stress.json", spp=128, spp_chunk=None,
         include_vertices=True, edge_aware=True,
     )
+    return {"world8_stress_geomgrad_ms": round(ms, 3),
+            "world8_stress_geomgrad_mrays": round(mrays, 3)}
+
+
+def _item_fd_checks():
+    # On-chip central-difference sanity for the vertex + camera gradients
+    # (VERDICT r3 next #2); split from the geomgrad bench row so each lands
+    # independently inside the time budget.
     _, _, vratio = vertex_fd_check()
     _, _, cratio = camera_fd_check()
-    return {"world8_stress_geomgrad_ms": round(ms, 3),
-            "world8_stress_geomgrad_mrays": round(mrays, 3),
-            "vertex_fd_ad_over_fd": round(vratio, 4),
+    return {"vertex_fd_ad_over_fd": round(vratio, 4),
             "camera_fd_ad_over_fd": round(cratio, 4)}
 
 
@@ -663,10 +679,11 @@ ITEMS = {
     "world8_stress_1080p_spp128": _item_world8_stress_1080p_spp128,
     "world8_stress_geomgrad": _item_world8_stress_geomgrad,
     "world8_1024_spp16": _item_world8_1024_spp16,
-    "world16_cull": _item_world16_cull,
     "world8_bvh": _item_world8_bvh,
-    "synth4096_cull": _item_synth4096_cull,
     "synth4096_bvh": _item_synth4096_bvh,
+    "synth4096_cull": _item_synth4096_cull,
+    "world16_cull": _item_world16_cull,
+    "fd_checks": _item_fd_checks,
     "mxu_general_mesh": _item_mxu_general_mesh,
     "dsweep": _item_dsweep,
 }
@@ -680,7 +697,33 @@ ITEM_TIMEOUT_S = {
     "world8_stress_geomgrad": 3600,
 }
 
-BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1050"))
+# WARM-cache cost estimates (measured 2026-08-21 on the v5e relay; dominated
+# by Python tracing + StableHLO lowering, which the persistent cache cannot
+# skip).  An item is attempted only when the remaining budget covers its
+# estimate — otherwise it is skipped IMMEDIATELY and the next item that fits
+# runs, so a too-big item never burns a doomed partial slice.
+ITEM_EST_S = {
+    "world8": 30,
+    "world1": 120,
+    "world16": 30,
+    "fwd_bwd_1080p": 30,
+    "consistency": 230,
+    "world4_512_spp4": 140,
+    "mixed_world": 150,
+    "world16_1080p_spp64_bwd": 250,
+    "world8_stress_1080p_spp128": 270,
+    "world8_stress_geomgrad": 280,
+    "world8_1024_spp16": 200,
+    "world8_bvh": 45,
+    "synth4096_bvh": 30,
+    "synth4096_cull": 30,
+    "world16_cull": 40,
+    "fd_checks": 160,
+    "mxu_general_mesh": 40,
+    "dsweep": 60,
+}
+
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1350"))
 _RESERVE_S = 15  # headroom to print the final line
 _MIN_SLICE_S = 45  # don't start an item with less than this remaining
 
@@ -702,7 +745,7 @@ def main():
     skipped = []
     for key in ITEMS:
         remaining = deadline - time.perf_counter() - _RESERVE_S
-        if remaining < _MIN_SLICE_S:
+        if remaining < max(_MIN_SLICE_S, ITEM_EST_S.get(key, _MIN_SLICE_S)):
             skipped.append(key)
             continue
         t0 = time.perf_counter()

@@ -806,13 +806,17 @@ def auto_tile_caps(scene, camera, cfg, margin: float = 2.0) -> dict:
     to pay).  Host-level helper: call once at setup and fold into the
     RenderConfig; any residual drops are counted and surfaced by
     render_frame_with_stats."""
-    geom = expand_geometry(scene)
     cfg1 = cfg.replace(spp=1, static_tile_cap=0.0, wavefront_tile_cap=0.0,
                        child_tile_cap=0.0)
-    cast_fn = make_cast(scene, geom, cfg1)
 
     @jax.jit
     def probe():
+        # geometry expansion + cast-table build live INSIDE the jit: eager
+        # jnp prep costs ~100 small dispatches, which through the TPU relay
+        # is tens of seconds of round-trips (measured 70 s on world8) vs
+        # traced constants here
+        geom = expand_geometry(scene)
+        cast_fn = make_cast(scene, geom, cfg1)
         occ, dil, _, spawn = _probe_tile_occupancy(cast_fn, camera, cfg1,
                                                    scene=scene, geom=geom)
         n_spawn = jnp.sum(occ) if spawn is None else jnp.sum(spawn)

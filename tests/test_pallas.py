@@ -270,7 +270,8 @@ def test_fused_dual_light_occlusion_matches():
     cam = jax.tree_util.tree_map(jnp.asarray, w.camera)
     cfg = w.config.replace(width=160, height=96, engine="pallas",
                            pallas_kernel="scalar", pallas_traversal="bvh")
-    base = np.asarray(render_frame(scene, cam, cfg))
+    base = np.asarray(render_frame(
+        scene, cam, cfg.replace(fused_shadows=False)))
     fused = np.asarray(render_frame(
         scene, cam, cfg.replace(fused_shadows=True)))
     np.testing.assert_array_equal(base, fused)
@@ -298,7 +299,7 @@ def test_fused_dual_light_occlusion_gradients_match():
         loss_fn = diff.make_loss_fn(scene, cam, c, target)
         return jax.jit(jax.grad(loss_fn))(params)
 
-    g_base = grads_for(cfg)
+    g_base = grads_for(cfg.replace(fused_shadows=False))
     g_fused = grads_for(cfg.replace(fused_shadows=True))
     for leaf_b, leaf_f in zip(jax.tree_util.tree_leaves(g_base),
                               jax.tree_util.tree_leaves(g_fused)):
