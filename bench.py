@@ -704,23 +704,23 @@ ITEM_TIMEOUT_S = {
 # runs, so a too-big item never burns a doomed partial slice.
 ITEM_EST_S = {
     "world8": 30,
-    "world1": 120,
-    "world16": 30,
-    "fwd_bwd_1080p": 30,
-    "consistency": 230,
-    "world4_512_spp4": 140,
-    "mixed_world": 150,
-    "world16_1080p_spp64_bwd": 250,
-    "world8_stress_1080p_spp128": 270,
-    "world8_stress_geomgrad": 280,
-    "world8_1024_spp16": 200,
-    "world8_bvh": 45,
+    "world1": 60,
+    "world16": 55,
+    "fwd_bwd_1080p": 80,
+    "consistency": 40,
+    "world4_512_spp4": 65,
+    "mixed_world": 85,
+    "world16_1080p_spp64_bwd": 200,
+    "world8_stress_1080p_spp128": 180,
+    "world8_stress_geomgrad": 210,
+    "world8_1024_spp16": 70,
+    "world8_bvh": 40,
     "synth4096_bvh": 30,
     "synth4096_cull": 30,
-    "world16_cull": 40,
-    "fd_checks": 160,
+    "world16_cull": 60,
+    "fd_checks": 130,
     "mxu_general_mesh": 40,
-    "dsweep": 60,
+    "dsweep": 100,
 }
 
 BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1350"))
