@@ -739,39 +739,58 @@ def run_item(key: str) -> int:
     return 0
 
 
-def main():
-    deadline = time.perf_counter() + BENCH_BUDGET_S
+def _run_schedule(keys, run_one, budget_s, est=None, timeouts=None,
+                  now=time.perf_counter):
+    """Budget-bounded item scheduler (unit-testable core of ``main``).
+
+    Runs items in the given priority order; an item starts only when the
+    remaining budget (minus the final-line reserve) covers its warm-cost
+    estimate, otherwise it is skipped immediately — a too-big item never
+    burns a doomed partial slice, and the caller always has budget left to
+    print the final line.  ``run_one(key, timeout_s) -> dict`` does the
+    work (subprocess in production, a stub in tests)."""
+    est = ITEM_EST_S if est is None else est
+    timeouts = ITEM_TIMEOUT_S if timeouts is None else timeouts
+    deadline = now() + budget_s
     extras = {}
     skipped = []
-    for key in ITEMS:
-        remaining = deadline - time.perf_counter() - _RESERVE_S
-        if remaining < max(_MIN_SLICE_S, ITEM_EST_S.get(key, _MIN_SLICE_S)):
+    for key in keys:
+        remaining = deadline - now() - _RESERVE_S
+        if remaining < max(_MIN_SLICE_S, est.get(key, _MIN_SLICE_S)):
             skipped.append(key)
             continue
-        t0 = time.perf_counter()
+        t0 = now()
         try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--item", key],
-                capture_output=True, text=True,
-                timeout=min(ITEM_TIMEOUT_S.get(key, 1200), remaining),
-                cwd=_HERE,
-            )
-            line = proc.stdout.strip().splitlines()
-            out = json.loads(line[-1]) if line else {
-                key + "_error": f"no output (rc={proc.returncode}): "
-                + proc.stderr.strip()[-150:]
-            }
+            out = run_one(key, min(timeouts.get(key, 1200), remaining))
         except subprocess.TimeoutExpired:
             out = {key + "_error": "timeout"}
         except Exception as e:  # pragma: no cover
             out = {key + "_error": f"{type(e).__name__}: {e}"[:200]}
         extras.update(out)
-        dt = time.perf_counter() - t0
+        dt = now() - t0
         print(f"{key}: {out} [{dt:.0f}s]", file=sys.stderr, flush=True)
     if skipped:
         extras["skipped"] = skipped
-        print(f"budget exhausted ({BENCH_BUDGET_S:.0f}s): skipped {skipped}",
+        print(f"budget exhausted ({budget_s:.0f}s): skipped {skipped}",
               file=sys.stderr, flush=True)
+    return extras
+
+
+def _run_item_subprocess(key, timeout_s):
+    """Production ``run_one``: crash-isolated child process per item."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--item", key],
+        capture_output=True, text=True, timeout=timeout_s, cwd=_HERE,
+    )
+    line = proc.stdout.strip().splitlines()
+    return json.loads(line[-1]) if line else {
+        key + "_error": f"no output (rc={proc.returncode}): "
+        + proc.stderr.strip()[-150:]
+    }
+
+
+def main():
+    extras = _run_schedule(list(ITEMS), _run_item_subprocess, BENCH_BUDGET_S)
 
     ms = extras.get("world8_ms")
     if ms is None:
