@@ -759,9 +759,13 @@ def _run_schedule(keys, run_one, budget_s, est=None, timeouts=None,
         if remaining < max(_MIN_SLICE_S, est.get(key, _MIN_SLICE_S)):
             skipped.append(key)
             continue
+        # a started item is additionally capped at 3x its warm estimate
+        # (floor 300 s — covers cold-cache compiles, measured <=1.6x of
+        # that), so one pathological hang cannot starve every later item
+        cap = max(3 * est.get(key, _MIN_SLICE_S), 300)
         t0 = now()
         try:
-            out = run_one(key, min(timeouts.get(key, 1200), remaining))
+            out = run_one(key, min(timeouts.get(key, 1200), remaining, cap))
         except subprocess.TimeoutExpired:
             out = {key + "_error": "timeout"}
         except Exception as e:  # pragma: no cover

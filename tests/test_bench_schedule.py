@@ -83,3 +83,20 @@ def test_estimates_cover_every_item():
     """Every registered item needs a warm estimate, or the scheduler falls
     back to the MIN_SLICE floor and may start something that cannot finish."""
     assert set(bench.ITEMS) == set(bench.ITEM_EST_S)
+
+
+def test_hang_capped_at_multiple_of_estimate_later_items_survive():
+    """A hanging item must not starve the rest of the ladder: its slice is
+    capped at max(3x estimate, 300), leaving budget for later items."""
+    clock = FakeClock()
+    durations = {"hangs": 0, "after": 10}
+    run_one = _runner(durations, hang={"hangs"})
+    extras = bench._run_schedule(
+        ["hangs", "after"], lambda k, t: run_one(k, t, clock=clock),
+        budget_s=1000, est={"hangs": 50, "after": 20}, timeouts={"hangs": 3600},
+        now=clock,
+    )
+    assert extras["hangs_error"] == "timeout"
+    assert clock.t <= 300 + 10  # killed at the 300 s floor, not at 985
+    assert extras["after_ms"] == 10
+    assert "skipped" not in extras
