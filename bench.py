@@ -123,7 +123,7 @@ def _load(config_path, **cfg_over):
     return w, scene, camera, cfg
 
 
-def bench_world(config_path: str, width=640, height=480, iters=10,
+def bench_world(config_path: str, width=640, height=480, iters=20,
                 use_bvh=True, spp=1, traversal="auto", scale_cam=False,
                 auto_caps=False):
     """``auto_caps=True`` derives every tile cap from a probe render
