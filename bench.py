@@ -748,17 +748,24 @@ def _run_schedule(keys, run_one, budget_s, est=None, timeouts=None,
     estimate, otherwise it is skipped immediately — a too-big item never
     burns a doomed partial slice, and the caller always has budget left to
     print the final line.  ``run_one(key, timeout_s) -> dict`` does the
-    work (subprocess in production, a stub in tests)."""
+    work (subprocess in production, a stub in tests).
+
+    Items whose first attempt ERRORS (timeout / crash / no output) get ONE
+    retry each after the full pass, oldest-priority first, inside whatever
+    budget remains: a transient TPU-relay init wedge has stalled a
+    70-second item past its slice cap (observed on the headline row — which
+    would have reported ``value: null`` for the whole run), while the very
+    next subprocess ran normally, so a second attempt is cheap insurance."""
     est = ITEM_EST_S if est is None else est
     timeouts = ITEM_TIMEOUT_S if timeouts is None else timeouts
     deadline = now() + budget_s
     extras = {}
     skipped = []
-    for key in keys:
+
+    def attempt(key, label):
         remaining = deadline - now() - _RESERVE_S
         if remaining < max(_MIN_SLICE_S, est.get(key, _MIN_SLICE_S)):
-            skipped.append(key)
-            continue
+            return None  # budget can't cover it
         # a started item is additionally capped at 3x its warm estimate
         # (floor 300 s — covers cold-cache compiles, measured <=1.6x of
         # that), so one pathological hang cannot starve every later item
@@ -770,9 +777,25 @@ def _run_schedule(keys, run_one, budget_s, est=None, timeouts=None,
             out = {key + "_error": "timeout"}
         except Exception as e:  # pragma: no cover
             out = {key + "_error": f"{type(e).__name__}: {e}"[:200]}
-        extras.update(out)
         dt = now() - t0
-        print(f"{key}: {out} [{dt:.0f}s]", file=sys.stderr, flush=True)
+        print(f"{label}: {out} [{dt:.0f}s]", file=sys.stderr, flush=True)
+        return out
+
+    failed = []
+    for key in keys:
+        out = attempt(key, key)
+        if out is None:
+            skipped.append(key)
+            continue
+        extras.update(out)
+        if key + "_error" in out:
+            failed.append(key)
+    for key in failed:
+        out = attempt(key, f"{key} (retry)")
+        if out is None or key + "_error" in out:
+            continue
+        extras.pop(key + "_error", None)
+        extras.update(out)
     if skipped:
         extras["skipped"] = skipped
         print(f"budget exhausted ({budget_s:.0f}s): skipped {skipped}",
