@@ -633,9 +633,10 @@ def _item_mxu_general_mesh():
 
 def _item_dsweep():
     """Sweep the kernel tile size (the reference's -d plots, world*b*.png):
-    frame time on world8 640x480 per tile_rows in {8, 16, 24, 32} (the
-    d = sqrt(128 * rows) block-edge equivalents; Mosaic requires the
-    sublane dimension in multiples of 8)."""
+    frame time on world8 640x480 per tile_rows in {8, 16, 24, 32, 48, 64}
+    (the d = sqrt(128 * rows) block-edge equivalents; Mosaic requires the
+    sublane dimension in multiples of 8).  Long chains (iters=20): at
+    iters=5 the relay jitter reordered the sweep run-to-run."""
     import dataclasses
 
     import jax
@@ -644,7 +645,7 @@ def _item_dsweep():
     from raytracer_tpu.render import render_frame
 
     out = {}
-    for rows in (8, 16, 24, 32):
+    for rows in (8, 16, 24, 32, 48, 64):
         w, scene, camera, cfg = _load(
             "/root/reference/world8.json", ray_chunk=8192, tile_rows=rows
         )
@@ -653,7 +654,7 @@ def _item_dsweep():
             cam = dataclasses.replace(camera, pos=cam_pos)
             return render_frame(scene, cam, cfg)
 
-        ms, _ = _loop_time_ms(frame, camera.pos, iters=5)
+        ms, _ = _loop_time_ms(frame, camera.pos, iters=20)
         out[f"world8_d{rows}rows_ms"] = round(ms, 3)
         print(f"dsweep tile_rows={rows}: {ms:.3f} ms", file=sys.stderr,
               flush=True)
@@ -720,7 +721,7 @@ ITEM_EST_S = {
     "world16_cull": 60,
     "fd_checks": 130,
     "mxu_general_mesh": 40,
-    "dsweep": 100,
+    "dsweep": 150,
 }
 
 BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1350"))

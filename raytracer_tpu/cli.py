@@ -12,8 +12,8 @@ Reference flags -> ours:
                   multiple of 8 with an 8-row floor (Mosaic requires the
                   sublane dim in multiples of 8), so -d <= 32 all yield 8
                   rows (1024 lanes) and -d 64 yields 32 rows.  Unset keeps
-                  the engine default (24 rows = 3072 lanes).  Swept by the
-                  bench's d-sweep like world*b*.png
+                  the frame-size auto default (48 rows up to ~1M rays, 64
+                  above).  Swept by the bench's d-sweep like world*b*.png
 
 The SDL window is replaced by a PNG framebuffer dump (``--out``); interactive
 viewing on a TPU pod host is out of scope (SURVEY.md §7.9).  ``--debug-pixel X Y``
@@ -46,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
         "-d", "--dim", type=int, default=None,
         help="kernel tile edge (reference -d): Pallas tile rows = d*d/128 "
              "rounded up to a multiple of 8, floor 8 (so d<=32 -> 8 rows, "
-             "d=64 -> 32 rows); unset = engine default (24 rows)",
+             "d=64 -> 32 rows); unset = auto by frame size (48-64 rows)",
     )
     p.add_argument("-o", "--out", default=None, help="output PNG path")
     p.add_argument("--width", type=int, default=None, help="override canvas width")

@@ -55,8 +55,9 @@ def trans_attenuation(kt, time):
 
 # Rays per ENGINE screen tile (= BLOCK*BLOCK): the granularity of the
 # wavefront queue, tile votes, and tile-compaction bookkeeping.  Distinct
-# from the Pallas KERNEL tile (cfg.tile_rows * 128 lanes, default 24 rows =
-# 3072 lanes), which may span several engine tiles per grid step.
+# from the Pallas KERNEL tile (cfg.tile_rows * 128 lanes; the frame-size
+# auto default picks 48-64 rows), which spans several engine tiles per
+# grid step.
 TILE_LANES = 1024
 
 

@@ -1231,7 +1231,15 @@ def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
         aux = prepare_pallas_cast(scene, geom, cfg)
     if tile_rows <= 0:
         tile_rows = int(cfg.tile_rows)
-    if tile_rows <= 0 or tile_rows % 8 != 0:
+    if tile_rows <= 0:
+        # AUTO by frame size (cfg.tile_rows == 0): 48 rows up to ~1M rays
+        # (8192 kernel rows), 64 above — the round-5 long-chain sweep's
+        # optima (scene.py tile_rows doc).  The padded FULL frame sizes the
+        # choice; compacted casts reuse the same kernel on fewer rows.
+        hp = -(-cfg.height // 32) * 32
+        wp = -(-cfg.width // 32) * 32
+        tile_rows = 48 if hp * wp // LANES <= 8192 else 64
+    if tile_rows % 8 != 0:
         # surface a clear error here rather than an opaque Mosaic lowering
         # failure deep inside pallas_call (ADVICE r4)
         raise ValueError(

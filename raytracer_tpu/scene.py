@@ -162,14 +162,18 @@ class RenderConfig:
     #               XLA cull, near-to-far) | "bvh" in-kernel stackless LBVH
     #               walk (O(log N) per occluder) | "auto" by instance count
     use_bvh: bool = True  # False == reference's -r brute-force fallback
-    tile_rows: int = 24  # Pallas kernel tile = tile_rows x 128 lanes; the
+    tile_rows: int = 0  # Pallas kernel tile = tile_rows x 128 lanes; the
     #               analog of the reference's -d kernel block edge
     #               (src/main.cc:38, d x d threads/block ~ d^2/128 rows).
     #               The CLI's -d maps onto this; bench sweeps it like the
-    #               reference's world*b*.png plots.  Default 24 measured
-    #               fastest on the fixture ladder (world8 4.1 -> 2.8 ms,
-    #               world16 12.6 -> 7.6 ms vs 8 rows: fewer grid steps beat
-    #               the coarser tile votes); must be a multiple of 8.
+    #               reference's world*b*.png plots.  0 = AUTO by frame
+    #               size: 48 rows up to ~1M rays, 64 above (round-5
+    #               long-chain sweep on the v5e: world8 640x480 2.15 ->
+    #               1.99 ms, world16 6.01 -> 5.75 ms at 48; world8 1080p
+    #               fwd+bwd 28.0 -> 24.9 ms at 64 — larger tiles amortize
+    #               node stepping across more lanes until the coarser tile
+    #               frustum's extra visits win).  Explicit values must be
+    #               positive multiples of 8 (Mosaic sublane requirement).
     ray_chunk: int = 16384  # rays per cast chunk (memory bound)
     pallas_ray_chunk: int = 1 << 19  # rays per Pallas kernel launch: one
     #               640x480 frame fits a single launch; 1080p splits into 4 so
