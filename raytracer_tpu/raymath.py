@@ -154,7 +154,11 @@ def quat_rotate(q, v):
     matrix, which is what we do (documented deviation: no output re-normalization,
     exact for the rigid frames used everywhere in the pipeline)."""
     m = quat_to_mat(q)
-    return jnp.einsum("...ij,...j->...i", m, v)
+    # HIGHEST precision: if XLA routes this tiny contraction to the MXU at
+    # DEFAULT precision it rounds positions/directions to bf16 (~0.4%
+    # relative) — geometry must stay exact f32 (cf. shading.gather_material_rows)
+    return jnp.einsum("...ij,...j->...i", m, v,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def quat_rotate_inv(q, v):

@@ -47,7 +47,13 @@ def gather_material_rows(mats, mat_idx):
         [mats.ke, mats.ka, mats.kd, mats.ks, mats.kt, mats.kr,
          mats.alpha[:, None], mats.eta[:, None]], axis=1,
     )  # [K, 26]
-    rows = onehot @ table  # [R, 26]
+    # precision=HIGHEST: a DEFAULT-precision f32 matmul rounds its inputs to
+    # bf16 on the MXU (and on XLA:CPU builds with bf16 dot lowering), which
+    # QUANTIZES the gathered material values — measured as ~4e-3-wide kt
+    # plateaus that break finite-difference gradient checks.  The selection
+    # matmul is tiny, so exact f32 costs nothing.
+    rows = jnp.matmul(onehot, table,
+                      precision=jax.lax.Precision.HIGHEST)  # [R, 26]
     return dataclasses.replace(
         mats,
         ke=rows[:, 0:4], ka=rows[:, 4:8], kd=rows[:, 8:12], ks=rows[:, 12:16],
@@ -113,9 +119,11 @@ def _march_shadow(scene: Scene, geom: WorldGeometry, cast_fn: CastFn,
         t_fin = jnp.where(hit.valid, hit.t, 1.0)  # keep masked lanes finite
         beyond = step_hit & (t_fin > remaining)
         # one-hot matmul instead of a gather: its transpose is a matmul, not
-        # a scatter (see gather_material_rows)
-        kt = jax.nn.one_hot(h_mat, mats.kt.shape[0],
-                            dtype=jnp.float32) @ mats.kt
+        # a scatter (see gather_material_rows); HIGHEST precision keeps the
+        # selected kt exact f32 (DEFAULT rounds MXU inputs to bf16)
+        kt = jnp.matmul(jax.nn.one_hot(h_mat, mats.kt.shape[0],
+                                       dtype=jnp.float32), mats.kt,
+                        precision=jax.lax.Precision.HIGHEST)
         refractive = jnp.any(kt > 0.0, axis=-1)
         opaque = step_hit & ~beyond & ~refractive
         continuing = step_hit & ~beyond & refractive
