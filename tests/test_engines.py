@@ -342,3 +342,38 @@ class TestDropSurfacing:
                                        with_stats=True)
         _, _, stats0 = step_c(params, target)
         assert int(stats0["dropped"]) == 0
+
+
+def test_value_gathers_request_exact_precision():
+    """The one-hot material gathers and quat_rotate must carry
+    Precision.HIGHEST: a DEFAULT-precision f32 matmul rounds its inputs to
+    bf16 on the MXU, quantizing gathered material values to ~0.4% plateaus
+    (caught round 5 as a kt finite-difference step discontinuity).  Guard
+    the precision attribute in the traced jaxpr so a refactor cannot
+    silently reintroduce the DEFAULT-precision dot."""
+    import dataclasses
+
+    from raytracer_tpu import raymath as rm
+    from raytracer_tpu.render.shading import gather_material_rows
+    from raytracer_tpu.scene import Materials
+
+    k = 3
+    mats = Materials(
+        ke=jnp.zeros((k, 4)), ka=jnp.zeros((k, 4)), kd=jnp.zeros((k, 4)),
+        ks=jnp.zeros((k, 4)), kt=jnp.zeros((k, 4)), kr=jnp.zeros((k, 4)),
+        alpha=jnp.zeros((k,)), eta=jnp.ones((k,)),
+    )
+    idx = jnp.zeros((8,), jnp.int32)
+    jx = jax.make_jaxpr(lambda m, i: gather_material_rows(m, i).kd)(mats, idx)
+    dots = [str(e.params.get("precision"))
+            for e in jx.jaxpr.eqns if e.primitive.name == "dot_general"]
+    assert dots and all("HIGHEST" in d for d in dots), dots
+
+    q = jnp.array([0.0, 0.0, 0.0, 1.0])
+    v = jnp.array([[1.0, 2.0, 3.0]])
+    jx2 = jax.make_jaxpr(rm.quat_rotate)(q, v)
+    dots2 = [str(e.params.get("precision"))
+             for e in jx2.jaxpr.eqns if e.primitive.name == "dot_general"]
+    # the einsum may lower to mul+reduce (no dot_general) — only if it IS a
+    # dot does the precision attribute have to be HIGHEST
+    assert all("HIGHEST" in d for d in dots2), dots2
