@@ -52,8 +52,9 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 
 def _setup_compile_cache():
     """Point JAX at the repo-local persistent compilation cache (works
-    through the axon TPU relay: measured cross-process hit 3.1 s -> 0.8 s).
-    Must run before the first compilation; safe no-op if unsupported."""
+    through remote-compile TPU relays too: measured cross-process hit
+    3.1 s -> 0.8 s).  Must run before the first compilation; safe no-op
+    if unsupported."""
     import jax
 
     try:

@@ -1210,6 +1210,19 @@ def prepare_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig):
     return aux
 
 
+def auto_tile_rows(width: int, height: int) -> int:
+    """Kernel tile size for ``cfg.tile_rows == 0`` (AUTO), by frame size:
+    48 rows up to ~1M rays (8192 kernel rows after 32-alignment padding),
+    64 above — the round-5 long-chain sweep's optima (scene.py tile_rows
+    doc; a follow-up 1080p fwd+bwd trial showed 96/128 rows flat-to-worse
+    than 64, so 64 is the large-frame plateau).  The padded FULL frame
+    sizes the choice; compacted casts reuse the same kernel on fewer
+    rows."""
+    hp = -(-height // 32) * 32
+    wp = -(-width // 32) * 32
+    return 48 if hp * wp // LANES <= 8192 else 64
+
+
 def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
                      tile_rows: int = 0, max_cand: int = 64,
                      aux=None) -> CastFn:
@@ -1232,13 +1245,7 @@ def make_pallas_cast(scene: Scene, geom: WorldGeometry, cfg: RenderConfig,
     if tile_rows <= 0:
         tile_rows = int(cfg.tile_rows)
     if tile_rows <= 0:
-        # AUTO by frame size (cfg.tile_rows == 0): 48 rows up to ~1M rays
-        # (8192 kernel rows), 64 above — the round-5 long-chain sweep's
-        # optima (scene.py tile_rows doc).  The padded FULL frame sizes the
-        # choice; compacted casts reuse the same kernel on fewer rows.
-        hp = -(-cfg.height // 32) * 32
-        wp = -(-cfg.width // 32) * 32
-        tile_rows = 48 if hp * wp // LANES <= 8192 else 64
+        tile_rows = auto_tile_rows(cfg.width, cfg.height)
     if tile_rows % 8 != 0:
         # surface a clear error here rather than an opaque Mosaic lowering
         # failure deep inside pallas_call (ADVICE r4)

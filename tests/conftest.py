@@ -3,7 +3,7 @@
 Forces a virtual 8-device CPU platform so sharding tests run without TPUs (the
 driver separately dry-runs the multichip path via __graft_entry__).
 
-Note: this image injects an axon TPU-relay plugin via PYTHONPATH sitecustomize;
+Note: some images inject a TPU-relay PJRT plugin via a PYTHONPATH sitecustomize;
 its one-time client init (triggered on first backend query, even under
 JAX_PLATFORMS=cpu) costs a few seconds and serializes across processes — so
 avoid running many jax test processes in parallel.  Setting PYTHONPATH="" skips

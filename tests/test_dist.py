@@ -195,7 +195,7 @@ def test_two_process_distributed_cluster():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items()
            if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
-    env["PYTHONPATH"] = ""  # skip the axon relay plugin (pure-CPU workers)
+    env["PYTHONPATH"] = ""  # skip any sitecustomize TPU plugin (pure-CPU workers)
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(root, "tests",

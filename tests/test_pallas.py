@@ -305,3 +305,18 @@ def test_fused_dual_light_occlusion_gradients_match():
                               jax.tree_util.tree_leaves(g_fused)):
         np.testing.assert_allclose(np.asarray(leaf_b), np.asarray(leaf_f),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_auto_tile_rows_by_frame_size():
+    """cfg.tile_rows == 0 auto-selects the kernel tile: 48 rows up to ~1M
+    rays (8192 padded kernel rows), 64 above — the round-5 sweep optima.
+    Pins the 32-alignment padding in the ray-count estimate and the two
+    headline frame sizes."""
+    assert pe.auto_tile_rows(640, 480) == 48      # 2400 kernel rows
+    assert pe.auto_tile_rows(1024, 1024) == 48    # exactly 8192 rows
+    assert pe.auto_tile_rows(1920, 1080) == 64    # ~16k rows
+    # padding matters: 1025x1024 pads to 1056x1024 -> 8448 rows -> 64
+    assert pe.auto_tile_rows(1025, 1024) == 64
+    # both autoselected values satisfy the Mosaic sublane constraint
+    assert pe.auto_tile_rows(64, 64) % 8 == 0
+    assert pe.auto_tile_rows(4096, 4096) % 8 == 0
