@@ -23,7 +23,7 @@ Two round-5 reliability rules (the round-4 driver run hit rc=124 with all
 rows measured but the final line never printed — the entire ladder was lost
 to a wall-clock timeout):
 
-* **Global time budget.**  ``BENCH_BUDGET_S`` (default 1050 s) bounds the
+* **Global time budget.**  ``BENCH_BUDGET_S`` (default 1350 s) bounds the
   whole run; items execute in priority order (headline rows first), each
   subprocess gets at most the remaining budget, and once the budget is
   spent the remaining items are SKIPPED (listed in ``"skipped"``) — the
